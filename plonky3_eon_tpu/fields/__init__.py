@@ -1,0 +1,32 @@
+"""Field layer (reference parity: `field/`, `bn254/` — SURVEY.md §2.1)."""
+
+from .field import Field, Ring, mulhi32
+from .monty31 import BabyBear, KoalaBear, MontyField31
+from .mersenne31 import Mersenne31, Mersenne31Field
+from .extension import (
+    BabyBear4,
+    BabyBear5,
+    BinomialExtension,
+    KoalaBear4,
+    KoalaBear8,
+    Mersenne31Complex,
+    Mersenne31Cubic,
+)
+
+__all__ = [
+    "Field",
+    "Ring",
+    "mulhi32",
+    "MontyField31",
+    "BabyBear",
+    "KoalaBear",
+    "Mersenne31",
+    "Mersenne31Field",
+    "BinomialExtension",
+    "BabyBear4",
+    "BabyBear5",
+    "KoalaBear4",
+    "KoalaBear8",
+    "Mersenne31Cubic",
+    "Mersenne31Complex",
+]

@@ -1,0 +1,150 @@
+"""Binomial extension fields F[X]/(X^D - W).
+
+Reference parity: `field/src/extension/binomial_extension.rs:28` and the
+specialized D=2..8 mul/square/inv circuits at `:738-1267`, plus
+`ComplexExtendable` (`field/src/extension/complex.rs:9`).
+
+TPU-native design: an extension element array has shape (..., D) with the
+coefficient axis innermost (before any base-field limb axis). Multiplication
+is the static double loop c_k = sum_{i+j=k} a_i b_j + W * sum_{i+j=k+D};
+unrolled at trace time, XLA fuses it into one elementwise kernel over all
+lanes — the analogue of the reference's `PackedFieldExtension` lane packing
+(`field/src/packed/packed_binomial_extension.rs`).
+
+Inversion uses the norm map: inv(a) = (prod of Frobenius conjugates) / N(a),
+with Frobenius a coefficient-wise scaling (X^p = W^((p-1)/D) * X since
+p == 1 mod D) — branchless and O(D) base muls, vs the reference's explicit
+per-degree inverse circuits.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .field import Field, _jit_field_methods
+from .monty31 import BabyBear, KoalaBear
+from .mersenne31 import Mersenne31
+
+
+class BinomialExtension(Field):
+    def __init__(self, base: Field, D: int, W_int: int, name: str | None = None):
+        if base.shape_suffix != ():
+            raise NotImplementedError("extension towers not supported; use a flat binomial extension")
+        if (base.order - 1) % D != 0:
+            raise ValueError(f"{base.name}: D={D} must divide p-1 for a binomial extension")
+        self.base = base
+        self.D = D
+        self.W_int = W_int % base.order
+        self.name = name or f"{base.name}^{D}"
+        self.order = base.order**D
+        self.characteristic = base.characteristic
+        self.shape_suffix = (D,)
+        self._W = base.from_int(self.W_int)
+        # Frobenius scalars: frob^k scales coeff i by (W^((p-1)/D))^(i*k)
+        z = pow(self.W_int, (base.order - 1) // D, base.order)
+        self._frob_consts = [
+            base.from_int([pow(z, i * k, base.order) for i in range(D)]) for k in range(D)
+        ]
+        self.two_adicity = base.two_adicity  # subgroup of base lifts; enough for our use
+        self.generator_int = 0  # multiplicative generator not needed on device
+        _jit_field_methods(self)
+
+    # ---- representation ----------------------------------------------
+
+    def ones(self, shape=()):
+        o = self.zeros(shape)
+        return o.at[..., 0].set(self.base.ones(shape))
+
+    def from_base(self, a):
+        """Embed base-field array (...,) -> extension array (..., D)."""
+        out = jnp.zeros(a.shape + (self.D,), self.dtype)
+        return out.at[..., 0].set(a)
+
+    def from_int(self, x):
+        """Canonical int(s): accepts a single int (embedded) or a last-dim-D array."""
+        import numpy as np
+
+        arr = np.asarray(x, dtype=object)
+        if arr.ndim == 0 or arr.shape[-1] != self.D:
+            base = self.base.from_int(arr.astype(np.uint64) if arr.dtype == object else arr)
+            return self.from_base(base)
+        return self.base.from_int(arr.astype(np.uint64))
+
+    def to_ints(self, a):
+        return self.base.to_ints(a)
+
+    # ---- arithmetic ---------------------------------------------------
+
+    def add(self, a, b):
+        return self.base.add(a, b)
+
+    def sub(self, a, b):
+        return self.base.sub(a, b)
+
+    def neg(self, a):
+        return self.base.neg(a)
+
+    def mul(self, a, b):
+        F, D = self.base, self.D
+        cs = []
+        for k in range(D):
+            acc = None
+            acc_hi = None  # terms needing * W
+            for i in range(D):
+                j = (k - i) % D
+                t = F.mul(a[..., i], b[..., j])
+                if i + j >= D:
+                    acc_hi = t if acc_hi is None else F.add(acc_hi, t)
+                else:
+                    acc = t if acc is None else F.add(acc, t)
+            if acc_hi is not None:
+                acc_hi = F.mul(acc_hi, self._W)
+                acc = acc_hi if acc is None else F.add(acc, acc_hi)
+            cs.append(acc)
+        return jnp.stack(cs, axis=-1)
+
+    def mul_base(self, a, b):
+        """Extension (...,D) times base (...,) — the Algebra op."""
+        return self.base.mul(a, b[..., None])
+
+    def halve(self, a):
+        return self.base.halve(a)
+
+    def frobenius(self, a, k: int = 1):
+        """a^(p^k): coefficient-wise scaling (ref: `HasFrobenius`)."""
+        return self.base.mul(a, self._frob_consts[k % self.D])
+
+    def inv(self, a):
+        F, D = self.base, self.D
+        # prod of conjugates a^p * a^(p^2) * ... * a^(p^(D-1))
+        conj = self.frobenius(a, 1)
+        acc = conj
+        for k in range(2, D):
+            acc = self.mul(acc, self.frobenius(a, k))
+        norm_full = self.mul(a, acc)  # lies in base field: coeffs 1..D-1 are 0
+        n_inv = F.inv(norm_full[..., 0])
+        return self.mul_base(acc, n_inv)
+
+    def __repr__(self):
+        return f"BinomialExtension({self.base.name}, {self.D}, W={self.W_int})"
+
+    def __hash__(self):
+        return hash((self.base, self.D, self.W_int))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, BinomialExtension)
+            and other.base == self.base
+            and other.D == self.D
+            and other.W_int == self.W_int
+        )
+
+
+# Upstream parameter parity (p3-baby-bear / p3-koala-bear / p3-mersenne-31):
+BabyBear4 = BinomialExtension(BabyBear, 4, 11)
+BabyBear5 = BinomialExtension(BabyBear, 5, 2)
+KoalaBear4 = BinomialExtension(KoalaBear, 4, 3)
+KoalaBear8 = BinomialExtension(KoalaBear, 8, 3)
+Mersenne31Cubic = BinomialExtension(Mersenne31, 3, 5)
+# Complex extension for the circle group (X^2 + 1, p == 3 mod 4)
+Mersenne31Complex = BinomialExtension(Mersenne31, 2, Mersenne31.order - 1, name="M31Complex")

@@ -1,0 +1,21 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding paths (Mesh/shard_map) are exercised without TPU hardware
+(SURVEY.md §4 'Implication for the TPU build')."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the host CPU backend compiles slowly; cache
+# compiled executables across test processes.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,169 @@
+"""Field axiom + differential tests vs Python bigint (reference parity:
+`field-testing/src/lib.rs` test_field!/test_two_adic_field! macro suites)."""
+
+import numpy as np
+import pytest
+
+from plonky3_eon_tpu.fields import (
+    BabyBear,
+    BabyBear4,
+    BabyBear5,
+    KoalaBear,
+    KoalaBear4,
+    KoalaBear8,
+    Mersenne31,
+    Mersenne31Complex,
+    Mersenne31Cubic,
+)
+
+PRIME_FIELDS = [BabyBear, KoalaBear, Mersenne31]
+EXT_FIELDS = [BabyBear4, BabyBear5, KoalaBear4, KoalaBear8, Mersenne31Cubic, Mersenne31Complex]
+ALL_FIELDS = PRIME_FIELDS + EXT_FIELDS
+
+
+def rand_ints(F, rng, n):
+    """Random canonical coefficient arrays, shape (n,)+suffix."""
+    return rng.integers(0, F.characteristic, size=(n,) + F.shape_suffix, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("F", PRIME_FIELDS, ids=lambda f: f.name)
+def test_prime_field_vs_bigint(F):
+    rng = np.random.default_rng(0)
+    p = F.order
+    xs = rand_ints(F, rng, 256)
+    ys = rand_ints(F, rng, 256)
+    a, b = F.from_int(xs), F.from_int(ys)
+    np.testing.assert_array_equal(F.to_ints(F.add(a, b)), (xs + ys) % p)
+    np.testing.assert_array_equal(F.to_ints(F.sub(a, b)), (xs.astype(object) - ys) % p)
+    np.testing.assert_array_equal(
+        F.to_ints(F.mul(a, b)), (xs.astype(object) * ys.astype(object)) % p
+    )
+    np.testing.assert_array_equal(F.to_ints(F.neg(a)), (-xs.astype(object)) % p)
+    np.testing.assert_array_equal(
+        F.to_ints(F.square(a)), (xs.astype(object) * xs.astype(object)) % p
+    )
+
+
+@pytest.mark.parametrize("F", PRIME_FIELDS, ids=lambda f: f.name)
+def test_prime_field_inv_halve(F):
+    rng = np.random.default_rng(1)
+    xs = rand_ints(F, rng, 64)
+    xs[xs == 0] = 1
+    a = F.from_int(xs)
+    prod = F.mul(a, F.inv(a))
+    np.testing.assert_array_equal(F.to_ints(prod), np.ones(64, dtype=np.uint64))
+    h = F.halve(a)
+    np.testing.assert_array_equal(F.to_ints(F.add(h, h)), xs)
+
+
+@pytest.mark.parametrize("F", PRIME_FIELDS, ids=lambda f: f.name)
+def test_edge_values(F):
+    p = F.order
+    edge = np.array([0, 1, 2, p - 1, p - 2, p // 2], dtype=np.uint64)
+    a = F.from_int(edge)
+    np.testing.assert_array_equal(F.to_ints(a), edge)
+    # a + (-a) == 0
+    np.testing.assert_array_equal(F.to_ints(F.add(a, F.neg(a))), np.zeros(6, dtype=np.uint64))
+    # (p-1)*(p-1) == 1
+    m = F.mul(F.from_int(p - 1), F.from_int(p - 1))
+    assert int(F.to_ints(m)) == 1
+
+
+@pytest.mark.parametrize("F", PRIME_FIELDS, ids=lambda f: f.name)
+def test_two_adic_generator(F):
+    for bits in range(0, min(F.two_adicity, 8) + 1):
+        g = F.two_adic_generator_int(bits)
+        assert pow(g, 1 << bits, F.order) == 1
+        if bits > 0:
+            assert pow(g, 1 << (bits - 1), F.order) != 1
+
+
+@pytest.mark.parametrize("F", EXT_FIELDS, ids=lambda f: f.name)
+def test_extension_irreducibility(F):
+    """X^D - W is irreducible iff W is not a d-th power for any prime d | D
+    (and extra condition for D % 4 == 0: p % 4 == 1)."""
+    p, D, W = F.base.order, F.D, F.W_int
+    for d in {2, 3, 5, 7} & {q for q in range(2, D + 1) if D % q == 0}:
+        assert (p - 1) % d == 0
+        assert pow(W, (p - 1) // d, p) != 1, f"W={W} is a {d}-th power"
+    if D % 4 == 0:
+        assert p % 4 == 1
+
+
+@pytest.mark.parametrize("F", EXT_FIELDS, ids=lambda f: f.name)
+def test_extension_field_axioms(F):
+    rng = np.random.default_rng(2)
+    a = F.from_int(rand_ints(F, rng, 32))
+    b = F.from_int(rand_ints(F, rng, 32))
+    c = F.from_int(rand_ints(F, rng, 32))
+    # commutativity / associativity / distributivity
+    np.testing.assert_array_equal(np.asarray(F.mul(a, b)), np.asarray(F.mul(b, a)))
+    np.testing.assert_array_equal(
+        np.asarray(F.mul(F.mul(a, b), c)), np.asarray(F.mul(a, F.mul(b, c)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(F.mul(a, F.add(b, c))), np.asarray(F.add(F.mul(a, b), F.mul(a, c)))
+    )
+    # identity
+    np.testing.assert_array_equal(np.asarray(F.mul(a, F.ones((32,)))), np.asarray(a))
+
+
+@pytest.mark.parametrize("F", EXT_FIELDS, ids=lambda f: f.name)
+def test_extension_inv(F):
+    rng = np.random.default_rng(3)
+    xs = rand_ints(F, rng, 16)
+    xs[0] = 0
+    xs[0][0] = 1  # ensure nonzero
+    a = F.from_int(xs)
+    prod = F.mul(a, F.inv(a))
+    expected = np.asarray(F.ones((16,)))
+    np.testing.assert_array_equal(np.asarray(prod), expected)
+
+
+@pytest.mark.parametrize("F", EXT_FIELDS, ids=lambda f: f.name)
+def test_extension_frobenius(F):
+    """frobenius(a) == a^p (checked via repeated frobenius = identity)."""
+    rng = np.random.default_rng(4)
+    a = F.from_int(rand_ints(F, rng, 8))
+    x = a
+    for _ in range(F.D):
+        x = F.frobenius(x, 1)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(a))
+    # frobenius is multiplicative
+    b = F.from_int(rand_ints(F, rng, 8))
+    lhs = F.frobenius(F.mul(a, b), 1)
+    rhs = F.mul(F.frobenius(a, 1), F.frobenius(b, 1))
+    np.testing.assert_array_equal(np.asarray(lhs), np.asarray(rhs))
+
+
+@pytest.mark.parametrize("F", ALL_FIELDS, ids=lambda f: f.name)
+def test_powers(F):
+    rng = np.random.default_rng(5)
+    base = F.from_int(rand_ints(F, rng, 1))[0]
+    n = 13
+    pw = F.powers(base, n)
+    assert pw.shape == (n,) + F.shape_suffix
+    acc = F.ones(())
+    for i in range(n):
+        np.testing.assert_array_equal(np.asarray(pw[i]), np.asarray(acc))
+        acc = F.mul(acc, base)
+
+
+@pytest.mark.parametrize("F", PRIME_FIELDS, ids=lambda f: f.name)
+def test_sum_dot(F):
+    rng = np.random.default_rng(6)
+    xs = rand_ints(F, rng, 37)
+    a = F.from_int(xs)
+    s = F.sum(a, axis=0)
+    assert int(F.to_ints(s)) == int(xs.astype(object).sum() % F.order)
+
+
+def test_mersenne31_mul_2exp():
+    F = Mersenne31
+    rng = np.random.default_rng(7)
+    xs = rand_ints(F, rng, 32)
+    a = F.from_int(xs)
+    for k in [1, 5, 17, 30, 31, 45]:
+        np.testing.assert_array_equal(
+            F.to_ints(F.mul_2exp(a, k)), (xs.astype(object) * pow(2, k, F.order)) % F.order
+        )
