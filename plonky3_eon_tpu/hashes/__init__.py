@@ -1,0 +1,36 @@
+"""Symmetric crypto layer (reference parity: `symmetric/`, `poseidon2/`,
+`keccak/`, `blake3/`, `sha256/`, `poseidon/`, `mds/` — SURVEY.md §2.2)."""
+
+from .keccak import KeccakF, keccak256_bytes, keccak_f
+from .poseidon2 import Poseidon2, default_poseidon2, external_linear_layer, internal_linear_layer
+from .sha256 import Sha256, Sha256Compress, sha256_compress
+from .blake3 import Blake3Compress, Blake3Hasher, blake3_bytes, blake3_compress
+from .sponge import (
+    CompressionFunctionFromHasher,
+    KeccakU64Sponge,
+    PaddingFreeSponge,
+    SerializingHasher,
+    TruncatedPermutation,
+)
+
+__all__ = [
+    "KeccakF",
+    "keccak_f",
+    "keccak256_bytes",
+    "Poseidon2",
+    "default_poseidon2",
+    "external_linear_layer",
+    "internal_linear_layer",
+    "Sha256",
+    "Sha256Compress",
+    "sha256_compress",
+    "Blake3Hasher",
+    "Blake3Compress",
+    "blake3_bytes",
+    "blake3_compress",
+    "PaddingFreeSponge",
+    "TruncatedPermutation",
+    "CompressionFunctionFromHasher",
+    "SerializingHasher",
+    "KeccakU64Sponge",
+]

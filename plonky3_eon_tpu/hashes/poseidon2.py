@@ -1,0 +1,219 @@
+"""Poseidon2 permutation, batched over TPU lanes.
+
+Reference parity: `poseidon2/src/lib.rs:31` (generic Poseidon2),
+`external.rs:80-145` (M4-block external "MDS light" layer, widths
+2/3/4/8/12/16/20/24), `internal.rs:47` (diag + sum internal layer),
+`generic.rs:32` (`GenericPoseidon2LinearLayers` — linear layers reusable by
+the AIR), `round_numbers.rs` (round counts).
+
+TPU-native design: a batch of states is a (batch, WIDTH) uint32 array in
+Montgomery form; the whole permutation (all rounds) is one trace-time
+unrolled jit program — adds/sbox are elementwise VPU ops, linear layers are
+static add networks, everything fuses. The reference packs a handful of
+states into AVX lanes; here the batch axis is the lane axis (thousands of
+states per call).
+
+Round constants: the upstream per-field instances (removed crates
+`p3-baby-bear`/`p3-koala-bear`) sample constants from a seeded RNG. We
+generate deterministic parameters from a SHA-256 counter stream with
+rejection sampling (documented, reproducible across implementations); every
+constructor also accepts explicit constants for interop with external
+parameter sets (e.g. the zkhash BN254 instance).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import Field
+
+# (field characteristic, width) -> (sbox degree, rounds_f, rounds_p)
+# Round numbers follow the Poseidon2 security analysis for ~128-bit security
+# (ref: `poseidon2/src/round_numbers.rs`).
+_BB = (1 << 31) - (1 << 27) + 1
+_KB = (1 << 31) - (1 << 24) + 1
+_M31 = (1 << 31) - 1
+_ROUNDS = {
+    (_BB, 16): (7, 8, 13),
+    (_BB, 24): (7, 8, 21),
+    (_KB, 16): (3, 8, 20),
+    (_KB, 24): (3, 8, 23),
+    (_M31, 16): (5, 8, 14),
+    (_M31, 24): (5, 8, 22),
+}
+
+
+def sbox_degree(p: int) -> int:
+    """Smallest d >= 3 with gcd(d, p-1) == 1 (the injective monomial)."""
+    import math
+
+    d = 3
+    while math.gcd(d, p - 1) != 1:
+        d += 2
+    return d
+
+
+def deterministic_constants(F: Field, tag: str, n: int) -> np.ndarray:
+    """n field elements from a SHA-256(tag || counter) stream, rejection
+    sampled below p. Reproducible parameter generation (no RNG state)."""
+    p = F.order
+    out = np.zeros(n, dtype=np.uint64)
+    i = 0
+    ctr = 0
+    nbytes = (p.bit_length() + 7) // 8
+    while i < n:
+        digest = hashlib.sha256(f"p3tpu-poseidon2-{F.name}-{tag}-{ctr}".encode()).digest()
+        ctr += 1
+        for off in range(0, 32 - nbytes + 1, nbytes):
+            v = int.from_bytes(digest[off : off + nbytes], "little")
+            v &= (1 << p.bit_length()) - 1
+            if v < p and i < n:
+                out[i] = v
+                i += 1
+    return out
+
+
+def external_linear_layer(F: Field, lanes: list, hl: bool = False) -> list:
+    """MDS-light layer on a list of WIDTH lane arrays (ref: `external.rs:113`).
+
+    Works on any ring values supporting F.add/F.double — jnp arrays in the
+    permutation, symbolic expressions in the Poseidon2 AIR (the
+    `GenericPoseidon2LinearLayers` reuse, `generic.rs:32`).
+    """
+    w = len(lanes)
+    add = F.add
+    if w == 2:
+        s = add(lanes[0], lanes[1])
+        return [add(lanes[0], s), add(lanes[1], s)]
+    if w == 3:
+        s = add(add(lanes[0], lanes[1]), lanes[2])
+        return [add(x, s) for x in lanes]
+    if w % 4 != 0:
+        raise ValueError(f"unsupported Poseidon2 width {w}")
+    out = []
+    for c in range(0, w, 4):
+        x0, x1, x2, x3 = lanes[c : c + 4]
+        if hl:
+            # [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]] (Poseidon2 paper App. B)
+            t0 = add(x0, x1)
+            t1 = add(x2, x3)
+            t2 = add(add(x1, x1), t1)
+            t3 = add(add(x3, x3), t0)
+            t4 = add(F.double(F.double(t1)), t3)
+            t5 = add(F.double(F.double(t0)), t2)
+            out += [add(t3, t5), t5, add(t2, t4), t4]
+        else:
+            # [[2,3,1,1],[1,2,3,1],[1,1,2,3],[3,1,1,2]] (cheapest MDS mat4)
+            t01 = add(x0, x1)
+            t23 = add(x2, x3)
+            t0123 = add(t01, t23)
+            t01123 = add(t0123, x1)
+            t01233 = add(t0123, x3)
+            y3 = add(t01233, F.double(x0))
+            y1 = add(t01123, F.double(x2))
+            y0 = add(t01123, t01)
+            y2 = add(t01233, t23)
+            out += [y0, y1, y2, y3]
+    # outer circulant [[2M, M, ...], [M, 2M, ...], ...]: add per-position block sums
+    sums = []
+    for j in range(4):
+        s = out[j]
+        for c in range(4 + j, w, 4):
+            s = add(s, out[c])
+        sums.append(s)
+    return [add(out[i], sums[i % 4]) for i in range(w)]
+
+
+def internal_linear_layer(F: Field, lanes: list, diag) -> list:
+    """x_i <- diag_i * x_i + sum(x) (ref: `internal.rs:47` matmul_internal).
+
+    `diag` is a length-WIDTH array of field constants."""
+    s = lanes[0]
+    for x in lanes[1:]:
+        s = F.add(s, x)
+    return [F.add(F.mul(x, diag[i]), s) for i, x in enumerate(lanes)]
+
+
+class Poseidon2:
+    """Batched Poseidon2 permutation over a prime field.
+
+    permute: (batch, WIDTH)+sfx -> same shape. One fused jit program.
+    """
+
+    def __init__(
+        self,
+        F: Field,
+        width: int,
+        d: int | None = None,
+        rounds_f: int | None = None,
+        rounds_p: int | None = None,
+        external_constants: np.ndarray | None = None,
+        internal_constants: np.ndarray | None = None,
+        internal_diag: np.ndarray | None = None,
+        hl_mat4: bool = False,
+    ):
+        self.F = F
+        self.width = width
+        key = (F.characteristic, width)
+        dd, rf, rp = _ROUNDS.get(key, (sbox_degree(F.characteristic), 8, 20))
+        self.d = d or dd
+        self.rounds_f = rounds_f or rf
+        self.rounds_p = rounds_p or rp
+        self.hl_mat4 = hl_mat4
+        if external_constants is None:
+            external_constants = deterministic_constants(F, "ext", self.rounds_f * width).reshape(
+                self.rounds_f, width
+            )
+        if internal_constants is None:
+            internal_constants = deterministic_constants(F, "int", self.rounds_p)
+        if internal_diag is None:
+            internal_diag = deterministic_constants(F, "diag", width)
+        self.ext_consts = F.from_int(np.asarray(external_constants, dtype=np.uint64))
+        self.int_consts = F.from_int(np.asarray(internal_constants, dtype=np.uint64))
+        self.diag = F.from_int(np.asarray(internal_diag, dtype=np.uint64))
+
+    def _sbox(self, x):
+        return self.F.exp_const(x, self.d)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def permute(self, state):
+        F, w = self.F, self.width
+        lanes = [state[..., i] for i in range(w)]
+        half_f = self.rounds_f // 2
+        lanes = external_linear_layer(F, lanes, self.hl_mat4)
+        for r in range(half_f):
+            lanes = [F.add(x, self.ext_consts[r, i]) for i, x in enumerate(lanes)]
+            lanes = [self._sbox(x) for x in lanes]
+            lanes = external_linear_layer(F, lanes, self.hl_mat4)
+        for r in range(self.rounds_p):
+            lanes[0] = F.add(lanes[0], self.int_consts[r])
+            lanes[0] = self._sbox(lanes[0])
+            lanes = internal_linear_layer(F, lanes, self.diag)
+        for r in range(half_f, self.rounds_f):
+            lanes = [F.add(x, self.ext_consts[r, i]) for i, x in enumerate(lanes)]
+            lanes = [self._sbox(x) for x in lanes]
+            lanes = external_linear_layer(F, lanes, self.hl_mat4)
+        return jnp.stack(lanes, axis=-1)
+
+    def __call__(self, state):
+        return self.permute(state)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@functools.lru_cache(maxsize=None)
+def default_poseidon2(field_name: str, width: int) -> Poseidon2:
+    """Cached default instances (deterministic constants)."""
+    from ..fields import BabyBear, KoalaBear, Mersenne31
+
+    F = {"BabyBear": BabyBear, "KoalaBear": KoalaBear, "Mersenne31": Mersenne31}[field_name]
+    return Poseidon2(F, width)

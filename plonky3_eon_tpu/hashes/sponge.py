@@ -1,0 +1,162 @@
+"""Sponges, compressors, serializing hashers (reference parity:
+`symmetric/src/{sponge,compression,serializing_hasher,hash,hasher,permutation}.rs`).
+
+TPU-native design: every construction is batched — a "hasher" maps
+(batch, L) element arrays to (batch, OUT) digests in one jit program; the
+Merkle tree calls these with batch = whole tree levels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PaddingFreeSponge:
+    """Sponge over a WIDTH-lane permutation, rate RATE, output OUT
+    (ref: `symmetric/src/sponge.rs:14`).
+
+    hash: (batch, L) -> (batch, OUT); absorbs RATE lanes per permutation by
+    overwrite (no padding — callers must ensure injectivity via fixed L).
+    """
+
+    def __init__(self, perm, width: int, rate: int, out: int):
+        self.perm = perm
+        self.width = width
+        self.rate = rate
+        self.out = out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def hash(self, inputs):
+        batch = inputs.shape[0]
+        L = inputs.shape[1]
+        sfx = inputs.shape[2:]
+        state = jnp.zeros((batch, self.width) + sfx, inputs.dtype)
+        for off in range(0, L, self.rate):
+            chunk = inputs[:, off : off + self.rate]
+            k = chunk.shape[1]
+            state = state.at[:, :k].set(chunk)
+            state = self.perm(state)
+        return state[:, : self.out]
+
+    def __call__(self, inputs):
+        return self.hash(inputs)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+class TruncatedPermutation:
+    """2-to-1 (or CHUNK-to-1) compressor (ref: `symmetric/src/compression.rs:47`).
+
+    compress: (batch, CHUNK, N)+sfx -> (batch, N)+sfx: concatenate chunks into
+    the state (zero-padded to WIDTH), permute, truncate to N.
+    """
+
+    def __init__(self, perm, chunk: int, n: int, width: int):
+        assert chunk * n <= width
+        self.perm = perm
+        self.chunk = chunk
+        self.n = n
+        self.width = width
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def compress(self, parts):
+        batch = parts.shape[0]
+        sfx = parts.shape[3:]
+        flat = parts.reshape((batch, self.chunk * self.n) + sfx)
+        state = jnp.zeros((batch, self.width) + sfx, parts.dtype)
+        state = state.at[:, : self.chunk * self.n].set(flat)
+        state = self.perm(state)
+        return state[:, : self.n]
+
+    def __call__(self, parts):
+        return self.compress(parts)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+class CompressionFunctionFromHasher:
+    """2-to-1 compressor from a hasher (ref: `compression.rs:9`)."""
+
+    def __init__(self, hasher, chunk: int, n: int):
+        self.hasher = hasher
+        self.chunk = chunk
+        self.n = n
+
+    def compress(self, parts):
+        batch = parts.shape[0]
+        flat = parts.reshape((batch, self.chunk * self.n) + parts.shape[3:])
+        return self.hasher.hash(flat)
+
+    def __call__(self, parts):
+        return self.compress(parts)
+
+
+class SerializingHasher:
+    """Hash field elements through a word-oriented hasher by serializing
+    to canonical u32 words (ref: `symmetric/src/serializing_hasher.rs:12`).
+
+    Wraps an inner hasher taking (batch, L_words) uint32.
+    """
+
+    def __init__(self, F, inner):
+        self.F = F
+        self.inner = inner
+
+    def hash(self, inputs):
+        words = self.F.to_canonical(inputs)
+        return self.inner.hash(words.reshape(words.shape[0], -1))
+
+    def __call__(self, inputs):
+        return self.hash(inputs)
+
+
+class KeccakU64Sponge:
+    """Keccak-f[1600] sponge absorbing u32 words into u64 lanes, digest as
+    8 u32 words (ref: the `PaddingFreeSponge<KeccakF, 25, 17, 4>` +
+    `SerializingHasher` stacks in `examples/src/proofs.rs:44-74`).
+
+    hash: (batch, L) uint32 -> (batch, 8) uint32. Pairs of u32 words pack
+    little-endian into u64 lanes; 17-lane rate; overwrite absorption
+    (padding-free — fixed-length inputs only, as in the reference MMCS use).
+    """
+
+    RATE_U64 = 17
+
+    def __init__(self, keccak_f):
+        self.keccak_f = keccak_f
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def hash(self, words):
+        batch, L = words.shape
+        if L % 2:
+            words = jnp.concatenate([words, jnp.zeros((batch, 1), jnp.uint32)], axis=1)
+            L += 1
+        lanes = words.reshape(batch, L // 2, 2)  # (lo, hi) u64 lanes
+        state = jnp.zeros((batch, 25, 2), jnp.uint32)
+        for off in range(0, L // 2, self.RATE_U64):
+            chunk = lanes[:, off : off + self.RATE_U64]
+            k = chunk.shape[1]
+            state = state.at[:, :k].set(chunk)
+            state = self.keccak_f(state)
+        return state[:, :4].reshape(batch, 8)
+
+    def __call__(self, words):
+        return self.hash(words)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

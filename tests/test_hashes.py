@@ -1,0 +1,140 @@
+"""Hash kernel tests: known-answer vectors + batching consistency
+(reference parity: `keccak/src` KAT tests, `bn254` zkhash differential
+tests — SURVEY.md §4)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from plonky3_eon_tpu.fields import BabyBear
+from plonky3_eon_tpu.hashes import (
+    Blake3Hasher,
+    KeccakF,
+    KeccakU64Sponge,
+    PaddingFreeSponge,
+    Poseidon2,
+    Sha256,
+    Sha256Compress,
+    TruncatedPermutation,
+    blake3_bytes,
+    keccak256_bytes,
+    keccak_f,
+)
+
+
+def test_keccak_f_known_answer():
+    """Keccak-f[1600] of the all-zero state (first lane of round output is a
+    well-known value: 0xF1258F7940E1DDE7)."""
+    state = np.zeros((1, 25, 2), dtype=np.uint32)
+    out = np.asarray(keccak_f(state))
+    lane0 = int(out[0, 0, 0]) | (int(out[0, 0, 1]) << 32)
+    assert lane0 == 0xF1258F7940E1DDE7
+
+
+def test_keccak256_empty():
+    assert keccak256_bytes(b"").hex() == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+
+
+def test_keccak256_abc():
+    assert keccak256_bytes(b"abc").hex() == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+
+
+def test_keccak_batch_consistency():
+    rng = np.random.default_rng(0)
+    states = rng.integers(0, 1 << 32, size=(4, 25, 2), dtype=np.uint64).astype(np.uint32)
+    batch_out = np.asarray(keccak_f(states))
+    for i in range(4):
+        single = np.asarray(keccak_f(states[i : i + 1]))
+        np.testing.assert_array_equal(batch_out[i], single[0])
+
+
+def test_sha256_vs_hashlib():
+    rng = np.random.default_rng(1)
+    for L in [0, 1, 8, 16, 17, 55]:
+        words = rng.integers(0, 1 << 32, size=(3, L), dtype=np.uint64).astype(np.uint32)
+        ours = np.asarray(Sha256().hash(words))
+        for b in range(3):
+            data = b"".join(int(w).to_bytes(4, "big") for w in words[b])
+            expect = hashlib.sha256(data).digest()
+            got = b"".join(int(w).to_bytes(4, "big") for w in ours[b])
+            assert got == expect, f"L={L} row={b}"
+
+
+def test_sha256_compress_deterministic():
+    rng = np.random.default_rng(2)
+    parts = rng.integers(0, 1 << 32, size=(2, 2, 8), dtype=np.uint64).astype(np.uint32)
+    a = np.asarray(Sha256Compress().compress(parts))
+    b = np.asarray(Sha256Compress().compress(parts))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a[0], a[1])
+
+
+def test_blake3_empty_vector():
+    assert (
+        blake3_bytes(b"").hex()
+        == "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+
+
+def test_blake3_batched_matches_host():
+    """Batched word hasher must equal the host byte path for 4L-byte inputs."""
+    rng = np.random.default_rng(3)
+    for L in [1, 8, 16, 24, 32]:
+        words = rng.integers(0, 1 << 32, size=(2, L), dtype=np.uint64).astype(np.uint32)
+        ours = np.asarray(Blake3Hasher().hash(words))
+        for b in range(2):
+            data = b"".join(int(w).to_bytes(4, "little") for w in words[b])
+            expect = blake3_bytes(data)
+            got = b"".join(int(w).to_bytes(4, "little") for w in ours[b])
+            assert got == expect, f"L={L} row={b}"
+
+
+def test_poseidon2_permutation_properties():
+    F = BabyBear
+    p2 = Poseidon2(F, 16)
+    rng = np.random.default_rng(4)
+    x = F.from_int(rng.integers(0, F.order, size=(5, 16), dtype=np.uint64))
+    y = p2.permute(x)
+    assert y.shape == (5, 16)
+    # deterministic
+    np.testing.assert_array_equal(np.asarray(p2.permute(x)), np.asarray(y))
+    # injective on distinct inputs (whp), and output differs from input
+    assert not np.array_equal(np.asarray(y[0]), np.asarray(y[1]))
+    assert not np.array_equal(np.asarray(y), np.asarray(x))
+    # batch consistency
+    single = p2.permute(x[2:3])
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(y[2]))
+
+
+def test_poseidon2_sponge_and_compression():
+    F = BabyBear
+    p2 = Poseidon2(F, 16)
+    sponge = PaddingFreeSponge(p2, 16, 8, 8)
+    rng = np.random.default_rng(5)
+    inp = F.from_int(rng.integers(0, F.order, size=(4, 20), dtype=np.uint64))
+    dig = sponge.hash(inp)
+    assert dig.shape == (4, 8)
+    comp = TruncatedPermutation(p2, 2, 8, 16)
+    out = comp.compress(jnp_stack_pair(dig))
+    assert out.shape == (4 // 2, 8) or out.shape == (2, 8)
+
+
+def jnp_stack_pair(dig):
+    import jax.numpy as jnp
+
+    return jnp.stack([dig[0::2], dig[1::2]], axis=1)
+
+
+def test_keccak_u64_sponge_shapes():
+    sponge = KeccakU64Sponge(keccak_f)
+    rng = np.random.default_rng(6)
+    words = rng.integers(0, 1 << 32, size=(3, 40), dtype=np.uint64).astype(np.uint32)
+    dig = np.asarray(sponge.hash(words))
+    assert dig.shape == (3, 8)
+    # prefix-sensitivity
+    words2 = words.copy()
+    words2[0, 0] ^= 1
+    dig2 = np.asarray(sponge.hash(words2))
+    assert not np.array_equal(dig[0], dig2[0])
+    np.testing.assert_array_equal(dig[1], dig2[1])
