@@ -1,0 +1,70 @@
+"""Constraint expression wrapper.
+
+Reference parity: the reference makes `Air::eval` generic over
+`AirBuilder::Expr` via Rust trait monomorphization (`air/src/air.rs:47`).
+Here an `Expr` wraps a builder-owned value — a jnp lane array in the prover
+folder (whole quotient domain per value), an extension scalar in the
+verifier folder, or a degree integer in the symbolic builder — and
+dispatches arithmetic back to the builder. One AIR definition therefore
+serves witness-check, quotient evaluation (traced+fused by XLA), degree
+analysis, and out-of-domain verification.
+"""
+
+from __future__ import annotations
+
+
+class Expr:
+    __slots__ = ("b", "v", "ext")
+
+    def __init__(self, b, v, ext: bool = False):
+        self.b = b
+        self.v = v
+        self.ext = ext
+
+    def _lift(self, other):
+        if isinstance(other, Expr):
+            return other
+        return Expr(self.b, self.b._const(other), False)
+
+    def __add__(self, o):
+        o = self._lift(o)
+        v, e = self.b._add(self.v, o.v, self.ext, o.ext)
+        return Expr(self.b, v, e)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        o = self._lift(o)
+        v, e = self.b._sub(self.v, o.v, self.ext, o.ext)
+        return Expr(self.b, v, e)
+
+    def __rsub__(self, o):
+        return self._lift(o).__sub__(self)
+
+    def __mul__(self, o):
+        o = self._lift(o)
+        v, e = self.b._mul(self.v, o.v, self.ext, o.ext)
+        return Expr(self.b, v, e)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        v, e = self.b._neg(self.v, self.ext)
+        return Expr(self.b, v, e)
+
+    def square(self):
+        return self * self
+
+    def double(self):
+        return self + self
+
+
+class RowPair:
+    """Local/next row views of a trace matrix (ref: `VerticalPair` row pairs,
+    `matrix/src/stack.rs:25`; `AirBuilder::main().row_slice(0/1)`)."""
+
+    __slots__ = ("local", "next")
+
+    def __init__(self, local, next):
+        self.local = local
+        self.next = next

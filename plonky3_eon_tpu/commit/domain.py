@@ -1,0 +1,150 @@
+"""Polynomial-space domains: two-adic multiplicative cosets with Lagrange
+selectors.
+
+Reference parity: `commit/src/domain.rs:21-293` (`PolynomialSpace` trait and
+its `TwoAdicMultiplicativeCoset` impl), `field/src/coset.rs:55`.
+
+Math (domain sH with |H| = n, generator h, shift s):
+    Z(X)           = (X/s)^n - 1
+    is_first(X)    = Z / (X/s - 1)          (vanishes off the first point)
+    is_last(X)     = Z / (X/s - h^{-1})
+    is_transition  = X/s - h^{-1}           (single linear factor)
+    inv_vanishing  = 1/Z
+
+TPU-native design: coset-wide selector evaluation builds the full point
+arrays with host-precomputed power tables and a single batched Fermat
+inversion (the reference instead cycles the 2^rate_bits distinct Z values +
+two Montgomery batch inversions, `domain.rs:252-293` — on TPU the batched
+exponentiation is branchless and fully parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import Field
+from ..utils import log2_ceil, log2_strict
+
+
+@dataclass(frozen=True)
+class Selectors:
+    is_first_row: object
+    is_last_row: object
+    is_transition: object
+    inv_vanishing: object
+
+
+class TwoAdicMultiplicativeCoset:
+    """Domain s*<h> with |<h>| = 2^log_n (ref: `field/src/coset.rs:55`)."""
+
+    def __init__(self, F: Field, log_n: int, shift_int: int = 1):
+        self.F = F
+        self.log_n = log_n
+        self.shift_int = shift_int % F.order
+        self.gen_int = F.two_adic_generator_int(log_n)
+
+    @property
+    def size(self) -> int:
+        return 1 << self.log_n
+
+    def first_point_int(self) -> int:
+        return self.shift_int
+
+    def next_point_ext(self, EF, zeta):
+        """zeta * h (the 'next row' point used for transition openings)."""
+        g = self.F.from_int(self.gen_int)
+        return EF.mul_base(zeta, jnp.broadcast_to(g, zeta.shape[:-1]))
+
+    def points_ints(self) -> np.ndarray:
+        from ..ops.dft import np_powers
+
+        pw = np_powers(self.gen_int, self.size, self.F.order)
+        return (pw * np.uint64(self.shift_int)) % np.uint64(self.F.order)
+
+    def points(self):
+        return self.F.from_int(self.points_ints())
+
+    # ---- domain algebra (ref: PolynomialSpace) ------------------------
+
+    def create_disjoint_domain(self, min_size: int) -> "TwoAdicMultiplicativeCoset":
+        """g*K with |K| >= min_size — disjoint since g is a non-square
+        (ref: `domain.rs:155-174`)."""
+        return TwoAdicMultiplicativeCoset(
+            self.F,
+            log2_ceil(min_size),
+            (self.shift_int * self.F.generator_int) % self.F.order,
+        )
+
+    def split_domains(self, num_chunks: int) -> list:
+        """Split into num_chunks cosets of the 2^k-th power subgroup
+        (ref: `domain.rs:174-188`): chunk i = (s*h^i) * <h^num_chunks>."""
+        k = log2_strict(num_chunks)
+        return [
+            TwoAdicMultiplicativeCoset(
+                self.F,
+                self.log_n - k,
+                (self.shift_int * pow(self.gen_int, i, self.F.order)) % self.F.order,
+            )
+            for i in range(num_chunks)
+        ]
+
+    def split_evals(self, num_chunks: int, evals):
+        """Rows of chunk i are rows i, i+num, i+2num, ... of the natural-order
+        eval matrix (point j of chunk i = s*h^(i + num*j))."""
+        return [evals[i::num_chunks] for i in range(num_chunks)]
+
+    # ---- vanishing polynomial & selectors -----------------------------
+
+    def vanishing_poly_at_point_ext(self, EF, zeta):
+        """Z(zeta) = (zeta/s)^n - 1, zeta an EF element array (..., D)."""
+        F = self.F
+        s_inv = F.from_int(pow(self.shift_int, F.order - 2, F.order))
+        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, zeta.shape[:-1]))
+        zn = EF.exp_const(un, self.size)
+        return EF.sub(zn, EF.ones(zeta.shape[:-1]))
+
+    def selectors_at_point_ext(self, EF, zeta) -> Selectors:
+        """Selectors at an out-of-domain EF point (ref: `domain.rs:226-247`)."""
+        F = self.F
+        p = F.order
+        s_inv = F.from_int(pow(self.shift_int, p - 2, p))
+        h_inv = F.from_int(pow(self.gen_int, p - 2, p))
+        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, zeta.shape[:-1]))
+        z = EF.sub(EF.exp_const(un, self.size), EF.ones(zeta.shape[:-1]))
+        d_first = EF.sub(un, EF.ones(zeta.shape[:-1]))
+        d_last = EF.sub(un, EF.from_base(jnp.broadcast_to(h_inv, zeta.shape[:-1])))
+        return Selectors(
+            is_first_row=EF.mul(z, EF.inv(d_first)),
+            is_last_row=EF.mul(z, EF.inv(d_last)),
+            is_transition=d_last,
+            inv_vanishing=EF.inv(z),
+        )
+
+    def selectors_on_coset(self, coset: "TwoAdicMultiplicativeCoset") -> Selectors:
+        """Selector value arrays over every point of `coset` (the quotient
+        domain), as base-field (N,) arrays (ref: `domain.rs:252-293`)."""
+        F = self.F
+        p = F.order
+        n = self.size
+        s_inv = pow(self.shift_int, p - 2, p)
+        h_inv = pow(self.gen_int, p - 2, p)
+        # X/s over the coset, host numpy u64 modmul (values < 2^31: safe).
+        un = ((coset.points_ints() * np.uint64(s_inv)) % np.uint64(p)).astype(np.uint64)
+        un_dev = F.from_int(un)
+        # Z = un^n - 1 computed on device (log n squarings over the array)
+        z = F.sub(F.exp_const(un_dev, n), F.ones(un_dev.shape))
+        one = F.ones(un_dev.shape)
+        d_first = F.sub(un_dev, one)
+        d_last = F.sub(un_dev, jnp.broadcast_to(F.from_int(h_inv), un_dev.shape))
+        # single fused batched inversion of [Z, d_first, d_last]
+        stacked = jnp.stack([z, d_first, d_last], axis=0)
+        inv = F.inv(stacked)
+        return Selectors(
+            is_first_row=F.mul(z, inv[1]),
+            is_last_row=F.mul(z, inv[2]),
+            is_transition=d_last,
+            inv_vanishing=inv[0],
+        )

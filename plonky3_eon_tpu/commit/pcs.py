@@ -1,0 +1,139 @@
+"""Polynomial commitment scheme abstraction + testing doubles.
+
+Reference parity: `commit/src/pcs.rs:21-192` (the `Pcs` trait the prover is
+generic over: natural_domain_for_degree / commit / commit_quotient /
+get_evaluations_on_domain / open / verify, round indices TRACE_IDX /
+QUOTIENT_IDX), `commit/src/testing.rs:19` (`TrivialPcs`),
+`commit/src/dummy_pcs.rs:17` (`DummyPcs`).
+
+Conventions:
+  * a "round" for `open` is (prover_data, points_per_matrix) where
+    points_per_matrix[m] is a list of EF points; `open` returns
+    opened[round][matrix][point] -> (width, D) EF values plus a proof;
+  * for `verify`, a round is (commitment, per-matrix list of
+    (domain, [(point, claimed_values)])).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import Field
+from ..ops.dft import NaiveDft, Radix2Dit, np_powers
+from .domain import TwoAdicMultiplicativeCoset
+
+
+class Pcs:
+    ZK = False
+    TRACE_IDX = 0
+    QUOTIENT_IDX = 1
+
+    def natural_domain_for_degree(self, degree: int) -> TwoAdicMultiplicativeCoset:
+        raise NotImplementedError
+
+    def commit(self, domains_and_evals: list):
+        raise NotImplementedError
+
+    def commit_quotient(self, quotient_domain, quotient_flat, num_chunks: int):
+        """Default: split the quotient evals into chunks on split domains and
+        commit (ref: `pcs.rs:82-107`)."""
+        chunks = quotient_domain.split_evals(num_chunks, quotient_flat)
+        domains = quotient_domain.split_domains(num_chunks)
+        return self.commit(list(zip(domains, chunks)))
+
+    def get_evaluations_on_domain(self, prover_data, idx: int, domain):
+        raise NotImplementedError
+
+    def open(self, rounds: list, challenger):
+        raise NotImplementedError
+
+    def verify(self, rounds: list, proof, challenger):
+        raise NotImplementedError
+
+    def observe_commitment(self, challenger, commitment):
+        challenger.observe(commitment)
+
+
+def eval_coeffs_at_ext_point(F: Field, EF, coeffs, zeta):
+    """Evaluate base-coefficient columns at an EF point: (n, w) x (D,) ->
+    (w, D), via EF powers of zeta + a base-scaled sum."""
+    n, w = coeffs.shape[0], coeffs.shape[1]
+    zpows = EF.powers(zeta, n)  # (n, D)
+    terms = EF.mul_base(zpows[:, None, :], coeffs)  # (n, w, D)
+    return EF.sum(terms, axis=0)
+
+
+@dataclass
+class TrivialProverData:
+    domains: list
+    evals: list
+    coeffs: list
+
+
+class TrivialPcs(Pcs):
+    """Commitment = the full coefficient matrices (no crypto): lets the
+    STARK engine be exercised end-to-end without hashing
+    (ref: `commit/src/testing.rs:19`)."""
+
+    def __init__(self, F: Field, EF):
+        self.F = F
+        self.EF = EF
+        self.dft = Radix2Dit(F)
+
+    def natural_domain_for_degree(self, degree: int):
+        from ..utils import log2_strict
+
+        return TwoAdicMultiplicativeCoset(self.F, log2_strict(degree), 1)
+
+    def commit(self, domains_and_evals):
+        domains, coeffs, evals = [], [], []
+        for domain, ev in domains_and_evals:
+            if domain.shift_int == 1:
+                cf = self.dft.idft_batch(ev)
+            else:
+                inv_s = pow(domain.shift_int, self.F.order - 2, self.F.order)
+                ipows = self.F.from_int(np_powers(inv_s, domain.size, self.F.order))
+                cf = self.dft.coset_idft_batch(ev, ipows)
+            domains.append(domain)
+            coeffs.append(cf)
+            evals.append(ev)
+        commitment = [np.asarray(c) for c in coeffs]
+        return commitment, TrivialProverData(domains, evals, coeffs)
+
+    def get_evaluations_on_domain(self, pd: TrivialProverData, idx: int, domain):
+        cf = pd.coeffs[idx]
+        n = cf.shape[0]
+        big_n = domain.size
+        if big_n > n:
+            cf = jnp.concatenate(
+                [cf, jnp.zeros((big_n - n,) + cf.shape[1:], cf.dtype)], axis=0
+            )
+        spows = self.F.from_int(np_powers(domain.shift_int, big_n, self.F.order))
+        return self.dft.coset_dft_batch(cf, spows)
+
+    def open(self, rounds, challenger):
+        opened = []
+        for pd, points_per_matrix in rounds:
+            round_vals = []
+            for cf, points in zip(pd.coeffs, points_per_matrix):
+                round_vals.append(
+                    [eval_coeffs_at_ext_point(self.F, self.EF, cf, z) for z in points]
+                )
+            opened.append(round_vals)
+        return opened, None
+
+    def verify(self, rounds, proof, challenger):
+        for commitment, matrices in rounds:
+            for cf_np, (domain, points_and_values) in zip(commitment, matrices):
+                cf = jnp.asarray(cf_np)
+                for zeta, claimed in points_and_values:
+                    got = eval_coeffs_at_ext_point(self.F, self.EF, cf, zeta)
+                    if not np.array_equal(np.asarray(got), np.asarray(claimed)):
+                        raise ValueError("TrivialPcs: opening mismatch")
+
+    def observe_commitment(self, challenger, commitment):
+        for cf in commitment:
+            challenger.observe(jnp.asarray(cf).reshape(-1))

@@ -31,9 +31,12 @@ class Mersenne31Field(Field):
     def ones(self, shape=()):
         return jnp.full(shape, jnp.uint32(1), U32)
 
-    def from_int(self, x):
+    def from_int_np(self, x) -> np.ndarray:
         arr = np.asarray(x, dtype=np.uint64) % np.uint64(_M)
-        return jnp.asarray(arr.astype(np.uint32))
+        return arr.astype(np.uint32)
+
+    def from_int(self, x):
+        return jnp.asarray(self.from_int_np(x))
 
     def to_ints(self, a) -> np.ndarray:
         return np.asarray(a, dtype=np.uint64)

@@ -47,10 +47,13 @@ class MontyField31(Field):
     def ones(self, shape=()):
         return jnp.full(shape, self._one, U32)
 
-    def from_int(self, x):
+    def from_int_np(self, x) -> np.ndarray:
         arr = np.asarray(x, dtype=np.uint64) % np.uint64(self.P_int)
         monty = (arr * np.uint64(self.R_int)) % np.uint64(self.P_int)
-        return jnp.asarray(monty.astype(np.uint32))
+        return monty.astype(np.uint32)
+
+    def from_int(self, x):
+        return jnp.asarray(self.from_int_np(x))
 
     def to_ints(self, a) -> np.ndarray:
         arr = np.asarray(a, dtype=np.uint64)

@@ -79,7 +79,9 @@ class Radix2Dit:
             for s in range(log_n):
                 m = 1 << s
                 stride = 1 << (log_n - 1 - s)
-                stages.append(F.from_int(full[::stride][:m]))
+                # host numpy (internal form) — becomes an XLA constant at each
+                # trace site; never cache device arrays (jit tracer safety)
+                stages.append(F.from_int_np(full[::stride][:m]))
             self._twiddle_cache[key] = stages
         return self._twiddle_cache[key]
 
@@ -99,7 +101,7 @@ class Radix2Dit:
             x = x.reshape((n // (2 * m), 2, m, w) + sfx)
             e = x[:, 0]
             o = x[:, 1]
-            t = F.mul(o, tws[s].reshape((1, m, 1) + sfx))
+            t = F.mul(o, jnp.asarray(tws[s]).reshape((1, m, 1) + sfx))
             x = jnp.stack([F.add(e, t), F.sub(e, t)], axis=1)
         return x.reshape((n, w) + sfx)
 

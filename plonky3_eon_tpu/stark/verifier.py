@@ -1,0 +1,170 @@
+"""Univariate STARK verifier.
+
+Reference parity: `uni-stark/src/verifier.rs:27-125,193-415` (`verify`,
+`recompose_quotient_from_chunks`, `verify_constraints`); call stack in
+SURVEY.md §3.2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.expr import Expr, RowPair
+from ..air.symbolic import get_log_quotient_degree, get_symbolic_constraints
+from .folder import ConstraintFolder
+
+
+class VerificationError(Exception):
+    pass
+
+
+def _basis_element(EF, e: int):
+    z = np.zeros(EF.D, dtype=np.uint64)
+    z[e] = 1
+    return EF.from_int(z)
+
+
+def recompose_quotient_from_chunks(EF, chunk_domains, chunk_values, zeta):
+    """quotient(zeta) = sum_i zps_i(zeta) * sum_e basis_e * c_{i,e}
+    with zps_i = prod_{j != i} Z_j(zeta) / Z_j(first_point(D_i))
+    (ref: `verifier.rs:27-67`)."""
+    F = chunk_domains[0].F
+    p = F.order
+    z_at_zeta = [d.vanishing_poly_at_point_ext(EF, zeta) for d in chunk_domains]
+    quotient = None
+    for i, (domain_i, chunk) in enumerate(zip(chunk_domains, chunk_values)):
+        # denominator: prod_{j != i} Z_j(first_i) — exact host integer math
+        denom = 1
+        x = domain_i.first_point_int()
+        for j, dj in enumerate(chunk_domains):
+            if j == i:
+                continue
+            zj = (pow((x * pow(dj.shift_int, p - 2, p)) % p, dj.size, p) - 1) % p
+            denom = (denom * zj) % p
+        denom_inv = F.from_int(pow(denom, p - 2, p))
+        zps = None
+        for j in range(len(chunk_domains)):
+            if j == i:
+                continue
+            zps = z_at_zeta[j] if zps is None else EF.mul(zps, z_at_zeta[j])
+        if zps is None:
+            zps = EF.ones(())
+        zps = EF.mul_base(zps, denom_inv)
+        val = None
+        for e in range(EF.D):
+            t = EF.mul(_basis_element(EF, e), jnp.asarray(chunk[e]))
+            val = t if val is None else EF.add(val, t)
+        term = EF.mul(zps, val)
+        quotient = term if quotient is None else EF.add(quotient, term)
+    return quotient
+
+
+def verify_constraints(air, F, EF, trace_local, trace_next, public_values,
+                       trace_domain, zeta, alpha, quotient,
+                       preprocessed_local=None, preprocessed_next=None):
+    """Evaluate the AIR at zeta and check folded * Z^-1 == quotient
+    (ref: `verifier.rs:74-125`)."""
+    sels = trace_domain.selectors_at_point_ext(EF, zeta)
+    folder = ConstraintFolder(
+        F,
+        EF,
+        main=None,
+        public_values=[],
+        is_first_row=None,
+        is_last_row=None,
+        is_transition=None,
+        alpha=alpha,
+    )
+    w = trace_local.shape[0]
+    folder.main = RowPair(
+        [Expr(folder, jnp.asarray(trace_local)[c], True) for c in range(w)],
+        [Expr(folder, jnp.asarray(trace_next)[c], True) for c in range(w)],
+    )
+    if preprocessed_local is not None:
+        pw = preprocessed_local.shape[0]
+        folder.preprocessed = RowPair(
+            [Expr(folder, jnp.asarray(preprocessed_local)[c], True) for c in range(pw)],
+            [Expr(folder, jnp.asarray(preprocessed_next)[c], True) for c in range(pw)],
+        )
+    folder.public_values = [
+        Expr(folder, F.from_int(int(pv)), False)
+        for pv in np.asarray(public_values).reshape(-1)
+    ]
+    folder.is_first_row = Expr(folder, sels.is_first_row, True)
+    folder.is_last_row = Expr(folder, sels.is_last_row, True)
+    folder.is_transition = Expr(folder, sels.is_transition, True)
+    air.eval(folder)
+    folded = folder.folded()
+    lhs = EF.mul(folded, sels.inv_vanishing)
+    if not np.array_equal(np.asarray(lhs), np.asarray(quotient)):
+        raise VerificationError("out-of-domain evaluation mismatch")
+
+
+def verify(config, air, proof, public_values=()):
+    """Verify a uni-stark proof (ref: `verifier.rs:193` `verify`)."""
+    F, EF, pcs = config.F, config.EF, config.pcs
+    public_values = np.asarray(public_values, dtype=np.uint64).reshape(-1)
+    ov = proof.opened_values
+    log_n = proof.degree_bits
+    n = 1 << log_n
+
+    lqd = get_log_quotient_degree(air, len(public_values))
+    quotient_degree = 1 << lqd
+
+    # ---- shape checks (ref: verifier.rs:267-279) ----------------------
+    if np.asarray(ov.trace_local).shape != (air.width, EF.D):
+        raise VerificationError("bad trace_local shape")
+    if np.asarray(ov.trace_next).shape != (air.width, EF.D):
+        raise VerificationError("bad trace_next shape")
+    if len(ov.quotient_chunks) != quotient_degree:
+        raise VerificationError("bad quotient chunk count")
+    for c in ov.quotient_chunks:
+        if np.asarray(c).shape != (EF.D, EF.D):
+            raise VerificationError("bad quotient chunk shape")
+
+    trace_domain = pcs.natural_domain_for_degree(n)
+    quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
+    chunk_domains = quotient_domain.split_domains(quotient_degree)
+
+    # ---- replay transcript -------------------------------------------
+    challenger = config.new_challenger()
+    challenger.observe_ints([log_n])
+    pcs.observe_commitment(challenger, proof.commitments.trace)
+    if len(public_values):
+        challenger.observe(F.from_int(public_values))
+    alpha = challenger.sample_ext(EF)
+    pcs.observe_commitment(challenger, proof.commitments.quotient_chunks)
+    zeta = challenger.sample_ext(EF)
+    zeta_next = trace_domain.next_point_ext(EF, zeta)
+
+    # ---- PCS verification --------------------------------------------
+    rounds = [
+        (
+            proof.commitments.trace,
+            [
+                (
+                    trace_domain,
+                    [
+                        (zeta, jnp.asarray(ov.trace_local)),
+                        (zeta_next, jnp.asarray(ov.trace_next)),
+                    ],
+                )
+            ],
+        ),
+        (
+            proof.commitments.quotient_chunks,
+            [
+                (dom, [(zeta, jnp.asarray(ov.quotient_chunks[i]))])
+                for i, dom in enumerate(chunk_domains)
+            ],
+        ),
+    ]
+    pcs.verify(rounds, proof.opening_proof, challenger)
+
+    # ---- constraint check at zeta ------------------------------------
+    quotient = recompose_quotient_from_chunks(EF, chunk_domains, ov.quotient_chunks, zeta)
+    verify_constraints(
+        air, F, EF, ov.trace_local, ov.trace_next, public_values,
+        trace_domain, zeta, alpha, quotient,
+    )

@@ -1,0 +1,64 @@
+"""End-to-end uni-stark tests over the TrivialPcs (no crypto) — the
+'minimum slice' milestone of SURVEY.md §7.6; mirrors
+`uni-stark/tests/fib_air.rs` (prove+verify, 1-row edge case, negative
+wrong-public-value test)."""
+
+import numpy as np
+import pytest
+
+from plonky3_eon_tpu.challenger import DuplexChallenger
+from plonky3_eon_tpu.commit import TrivialPcs
+from plonky3_eon_tpu.fields import BabyBear, BabyBear4
+from plonky3_eon_tpu.hashes import Poseidon2
+from plonky3_eon_tpu.models.fibonacci import FibonacciAir, generate_fibonacci_trace
+from plonky3_eon_tpu.stark import StarkConfig, VerificationError, check_constraints, prove, verify
+
+
+def make_config():
+    F, EF = BabyBear, BabyBear4
+    p2 = Poseidon2(F, 16)
+    return StarkConfig(
+        F=F,
+        EF=EF,
+        pcs=TrivialPcs(F, EF),
+        challenger_factory=lambda: DuplexChallenger(F, p2, 16, 8),
+    )
+
+
+def test_debug_checker_accepts_valid_trace():
+    F = BabyBear
+    trace, x = generate_fibonacci_trace(F, 8)
+    check_constraints(FibonacciAir(), F, BabyBear4, trace, [0, 1, x])
+
+
+def test_debug_checker_rejects_bad_trace():
+    F = BabyBear
+    trace, x = generate_fibonacci_trace(F, 8)
+    bad = trace.at[3, 0].set(12345)
+    with pytest.raises(AssertionError):
+        check_constraints(FibonacciAir(), F, BabyBear4, bad, [0, 1, x])
+
+
+def test_prove_verify_fibonacci():
+    config = make_config()
+    trace, x = generate_fibonacci_trace(BabyBear, 16)
+    proof = prove(config, FibonacciAir(), trace, [0, 1, x], check_witness=True)
+    verify(config, FibonacciAir(), proof, [0, 1, x])
+
+
+def test_verify_rejects_wrong_public_value():
+    config = make_config()
+    trace, x = generate_fibonacci_trace(BabyBear, 16)
+    proof = prove(config, FibonacciAir(), trace, [0, 1, x])
+    with pytest.raises((VerificationError, ValueError)):
+        verify(config, FibonacciAir(), proof, [0, 1, (x + 1) % BabyBear.order])
+
+
+def test_verify_rejects_tampered_opening():
+    config = make_config()
+    trace, x = generate_fibonacci_trace(BabyBear, 16)
+    proof = prove(config, FibonacciAir(), trace, [0, 1, x])
+    proof.opened_values.trace_local = proof.opened_values.trace_local.copy()
+    proof.opened_values.trace_local[0, 0] ^= 1
+    with pytest.raises((VerificationError, ValueError)):
+        verify(config, FibonacciAir(), proof, [0, 1, x])
