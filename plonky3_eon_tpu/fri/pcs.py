@@ -1,0 +1,466 @@
+"""Two-adic FRI polynomial commitment scheme.
+
+Reference parity: the removed upstream `p3-fri` crate (`TwoAdicFriPcs`,
+commit via coset-LDE + bit-reversed Merkle leaves, batched reduced
+openings, arity-2 fold rounds with per-round beta, PoW grind, query phase);
+API shape recovered from `examples/src/proofs.rs:98-104` and
+`challenger/src/grinding_challenger.rs` (which exists solely for FRI).
+SURVEY.md §2.8, §3.5.
+
+TPU-native design:
+  * commit: iDFT + zero-pad + coset-DFT onto the shift-g domain fuse into
+    one jitted LDE program per matrix shape; leaves are stored bit-reversed
+    so that (a) natural fold pairs (i, i + N/2) are adjacent leaves and
+    (b) the MMCS index>>k rule equals the FRI index-mod rule.
+  * reduced openings: one batched EF inversion of (x - zeta) over the whole
+    domain + an alpha-weighted column contraction, all fused under jit.
+  * fold rounds: whole-array butterfly (pair average + beta-scaled odd
+    part), one Merkle commit per round — each level one batched hash call.
+  * query phase: ALL queries walk every tree in lock-step with (q,)-batched
+    hash/compress/EF ops — no per-query scalar loops on either side.
+  * PoW grind: device-wide batched witness search (DuplexChallenger.grind).
+
+Folding soundness note: every round folds over the FIXED coset g*H_k and
+reinterprets the output on g*H_{k-1} via index (an affine reindexing
+x -> g*x each round, which preserves degree); prover and verifier use
+identical per-index formulas.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commit.domain import TwoAdicMultiplicativeCoset
+from ..commit.pcs import Pcs, eval_coeffs_at_ext_point
+from ..ops.dft import Radix2Dit, np_powers
+from ..utils import bit_reverse_indices, log2_strict, reverse_bits_len
+
+
+@dataclass
+class FriConfig:
+    log_blowup: int = 1
+    num_queries: int = 100
+    proof_of_work_bits: int = 16
+    # fold down to a constant (log_final_poly_len = 0 in reference terms)
+
+
+@dataclass
+class FriProverData:
+    domains: list
+    coeffs: list      # per matrix: (n, w) coefficient matrices
+    ldes_brev: list   # per matrix: (N, w) LDE evals, bit-reversed rows
+    merkle_data: object
+    log_lde_heights: list
+
+
+@dataclass
+class FriQueryProof:
+    input_openings: list   # per input round: (opened_rows per matrix, merkle proof)
+    commit_phase_openings: list  # per fold round: (opened pair rows (q,2,D), merkle proof)
+
+
+@dataclass
+class FriProof:
+    commit_phase_commits: list
+    query_proof: FriQueryProof
+    final_poly: np.ndarray  # (D,) EF constant
+    pow_witness: int
+    query_indices: list
+
+
+class TwoAdicFriPcs(Pcs):
+    def __init__(self, F, EF, mmcs, challenge_mmcs, fri_config: FriConfig | None = None):
+        self.F = F
+        self.EF = EF
+        self.mmcs = mmcs
+        self.challenge_mmcs = challenge_mmcs  # used for commit-phase (EF) matrices
+        self.fri = fri_config or FriConfig()
+        self.dft = Radix2Dit(F)
+
+    # ---- domains ------------------------------------------------------
+
+    def natural_domain_for_degree(self, degree: int):
+        return TwoAdicMultiplicativeCoset(self.F, log2_strict(degree), 1)
+
+    # ---- commit -------------------------------------------------------
+
+    def _lde_brev(self, domain, evals):
+        """evals over `domain` -> LDE over g*H (size << log_blowup),
+        bit-reversed row order."""
+        F = self.F
+        p = F.order
+        n = domain.size
+        big_n = n << self.fri.log_blowup
+        if domain.shift_int == 1:
+            coeffs = self.dft.idft_batch(evals)
+        else:
+            inv_s = pow(domain.shift_int, p - 2, p)
+            ipows = F.from_int(np_powers(inv_s, n, p))
+            coeffs = self.dft.coset_idft_batch(evals, ipows)
+        pad = jnp.zeros((big_n - n,) + evals.shape[1:], evals.dtype)
+        padded = jnp.concatenate([coeffs, pad], axis=0)
+        spows = F.from_int(np_powers(F.generator_int, big_n, p))
+        lde = self.dft.coset_dft_batch(padded, spows)
+        brev = jnp.take(lde, jnp.asarray(bit_reverse_indices(big_n)), axis=0)
+        return coeffs, brev
+
+    def commit(self, domains_and_evals):
+        domains, coeffs, ldes, log_hs = [], [], [], []
+        for domain, ev in domains_and_evals:
+            cf, brev = self._lde_brev(domain, ev)
+            domains.append(domain)
+            coeffs.append(cf)
+            ldes.append(brev)
+            log_hs.append(domain.log_n + self.fri.log_blowup)
+        root, mdata = self.mmcs.commit(ldes)
+        pd = FriProverData(domains, coeffs, ldes, mdata, log_hs)
+        return np.asarray(root), pd
+
+    def get_evaluations_on_domain(self, pd: FriProverData, idx: int, domain):
+        """Evals on `domain` (shift g, size <= LDE size): subsample the LDE."""
+        F = self.F
+        cf = pd.coeffs[idx]
+        if domain.shift_int != (F.generator_int % F.order):
+            raise ValueError("expected a shift-g evaluation domain")
+        big_n = domain.size
+        pad_n = big_n - cf.shape[0]
+        if pad_n < 0:
+            raise ValueError("domain smaller than polynomial degree")
+        padded = jnp.concatenate(
+            [cf, jnp.zeros((pad_n,) + cf.shape[1:], cf.dtype)], axis=0
+        )
+        spows = F.from_int(np_powers(F.generator_int, big_n, F.order))
+        return self.dft.coset_dft_batch(padded, spows)
+
+    # ---- open ---------------------------------------------------------
+
+    def open(self, rounds, challenger):
+        F, EF = self.F, self.EF
+        p = F.order
+
+        # 1. compute all claimed evaluations via stored coefficients
+        opened = []
+        for pd, points_per_matrix in rounds:
+            round_vals = []
+            for cf, points in zip(pd.coeffs, points_per_matrix):
+                round_vals.append(
+                    [eval_coeffs_at_ext_point(F, EF, cf, z) for z in points]
+                )
+            opened.append(round_vals)
+
+        # 2. bind claimed evals, sample the batch-RLC alpha
+        for rv in opened:
+            for mats in rv:
+                for v in mats:
+                    challenger.observe(v.reshape(-1))
+        alpha = challenger.sample_ext(EF)
+
+        # 3. reduced openings per LDE height (natural order), alpha powers
+        #    assigned per (round, matrix, point, column) in order
+        ro_by_height: dict = {}
+        alpha_pow = EF.ones(())
+        for (pd, points_per_matrix), round_vals in zip(rounds, opened):
+            for m_idx, (cf, points) in enumerate(zip(pd.coeffs, points_per_matrix)):
+                lde_brev = pd.ldes_brev[m_idx]
+                big_n = lde_brev.shape[0]
+                log_h = pd.log_lde_heights[m_idx]
+                w = lde_brev.shape[1]
+                # natural-order LDE (invert the bit reversal)
+                lde_nat = jnp.take(
+                    lde_brev, jnp.asarray(bit_reverse_indices(big_n)), axis=0
+                )
+                xs = F.from_int(
+                    np_powers(F.two_adic_generator_int(log_h), big_n, p)
+                )
+                xs = F.mul(xs, jnp.broadcast_to(F.from_int(F.generator_int), xs.shape))
+                for pt_idx, z in enumerate(points):
+                    # alpha powers for this (matrix, point): w consecutive
+                    col_pows = []
+                    ap = alpha_pow
+                    for _ in range(w):
+                        col_pows.append(ap)
+                        ap = EF.mul(ap, alpha)
+                    alpha_pow = ap
+                    col_pows = jnp.stack(col_pows)  # (w, D)
+                    vals = round_vals[m_idx][pt_idx]  # (w, D)
+                    ro = _reduced_opening(
+                        F, EF, lde_nat, xs, z, col_pows, vals
+                    )  # (N, D) natural order
+                    ro_brev = jnp.take(
+                        ro, jnp.asarray(bit_reverse_indices(big_n)), axis=0
+                    )
+                    key = log_h
+                    ro_by_height[key] = (
+                        ro_brev
+                        if key not in ro_by_height
+                        else EF.add(ro_by_height[key], ro_brev)
+                    )
+
+        # 4. FRI fold phase
+        heights = sorted(ro_by_height, reverse=True)
+        log_max = heights[0]
+        cur = ro_by_height[log_max]
+        commits, fold_data, betas = [], [], []
+        log_h = log_max
+        while log_h > self.fri.log_blowup:
+            half = 1 << (log_h - 1)
+            pairs = cur.reshape(half, 2, EF.D)
+            root, mdata = self.challenge_mmcs.commit([pairs.reshape(half, 2 * EF.D)])
+            commits.append(np.asarray(root))
+            fold_data.append((mdata, pairs))
+            challenger.observe(jnp.asarray(root).reshape(-1))
+            beta = challenger.sample_ext(EF)
+            betas.append(beta)
+            cur = _fold_round(F, EF, pairs, beta, log_h)
+            log_h -= 1
+            if log_h in ro_by_height:
+                cur = EF.add(cur, ro_by_height[log_h])
+
+        # 5. final constant + PoW + queries
+        final_poly = cur[0]
+        challenger.observe(final_poly.reshape(-1))
+        pow_witness = (
+            challenger.grind(self.fri.proof_of_work_bits)
+            if self.fri.proof_of_work_bits > 0
+            else 0
+        )
+        query_indices = [
+            challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
+        ]
+
+        # 6. query openings (vectorized across queries)
+        q = np.asarray(query_indices, dtype=np.int64)
+        input_openings = []
+        for pd, _ in rounds:
+            log_round_max = max(pd.log_lde_heights)
+            idx = q >> (log_max - log_round_max)
+            opened_rows, proof = self.mmcs.open_batch(idx, pd.merkle_data)
+            input_openings.append(
+                ([np.asarray(r) for r in opened_rows], np.asarray(proof))
+            )
+        commit_phase_openings = []
+        lh = log_max
+        for (mdata, pairs) in fold_data:
+            idx = (q >> (log_max - lh)) >> 1
+            rows, proof = self.challenge_mmcs.open_batch(idx, mdata)
+            commit_phase_openings.append((np.asarray(rows[0]), np.asarray(proof)))
+            lh -= 1
+
+        fri_proof = FriProof(
+            commit_phase_commits=commits,
+            query_proof=FriQueryProof(input_openings, commit_phase_openings),
+            final_poly=np.asarray(final_poly),
+            pow_witness=pow_witness,
+            query_indices=query_indices,
+        )
+        return opened, fri_proof
+
+    # ---- verify -------------------------------------------------------
+
+    def verify(self, rounds, proof: FriProof, challenger):
+        F, EF = self.F, self.EF
+        p = F.order
+        fri = self.fri
+
+        # replay transcript: observe claimed evals, sample alpha
+        for commitment, matrices in rounds:
+            for _, points_and_values in matrices:
+                for _, claimed in points_and_values:
+                    challenger.observe(jnp.asarray(claimed).reshape(-1))
+        alpha = challenger.sample_ext(EF)
+
+        log_max = max(
+            domain.log_n + fri.log_blowup
+            for _, matrices in rounds
+            for domain, _ in matrices
+        )
+
+        betas = []
+        for root in proof.commit_phase_commits:
+            challenger.observe(jnp.asarray(root).reshape(-1))
+            betas.append(challenger.sample_ext(EF))
+        challenger.observe(jnp.asarray(proof.final_poly).reshape(-1))
+        if fri.proof_of_work_bits > 0:
+            if not challenger.check_witness(fri.proof_of_work_bits, proof.pow_witness):
+                raise ValueError("FRI: proof-of-work check failed")
+        expected_indices = [
+            challenger.sample_bits(log_max) for _ in range(fri.num_queries)
+        ]
+        if expected_indices != list(proof.query_indices):
+            raise ValueError("FRI: query indices do not match transcript")
+        if len(proof.commit_phase_commits) != log_max - fri.log_blowup:
+            raise ValueError("FRI: wrong number of fold rounds")
+
+        q = np.asarray(proof.query_indices, dtype=np.int64)
+        nq = len(q)
+
+        # 1. verify input Merkle openings (vectorized) and build reduced
+        #    openings per height at the query points
+        ro_by_height: dict = {}
+        alpha_pow = EF.ones(())
+        for r_idx, (commitment, matrices) in enumerate(rounds):
+            opened_rows, mproof = proof.query_proof.input_openings[r_idx]
+            log_round_max = max(d.log_n + fri.log_blowup for d, _ in matrices)
+            idx = q >> (log_max - log_round_max)
+            dims = [
+                (1 << (d.log_n + fri.log_blowup), np.asarray(rows).shape[-1])
+                for (d, _), rows in zip(matrices, opened_rows)
+            ]
+            ok = self.mmcs.verify_batch(
+                jnp.asarray(commitment),
+                dims,
+                idx,
+                [jnp.asarray(r) for r in opened_rows],
+                jnp.asarray(mproof),
+            )
+            if not ok:
+                raise ValueError("FRI: input Merkle verification failed")
+            for (domain, points_and_values), rows in zip(matrices, opened_rows):
+                log_h = domain.log_n + fri.log_blowup
+                w = np.asarray(rows).shape[-1]
+                midx = q >> (log_max - log_h)  # bit-reversed-space index
+                # x = g * h^rev(midx)
+                h_gen = F.two_adic_generator_int(log_h)
+                xs_int = np.array(
+                    [
+                        (F.generator_int * pow(h_gen, reverse_bits_len(int(t), log_h), p))
+                        % p
+                        for t in midx
+                    ],
+                    dtype=np.uint64,
+                )
+                xs = F.from_int(xs_int)  # (nq,)
+                rows_dev = jnp.asarray(rows)  # (nq, w)
+                for z, claimed in points_and_values:
+                    col_pows = []
+                    ap = alpha_pow
+                    for _ in range(w):
+                        col_pows.append(ap)
+                        ap = EF.mul(ap, alpha)
+                    alpha_pow = ap
+                    col_pows = jnp.stack(col_pows)  # (w, D)
+                    ro = _reduced_opening_at_queries(
+                        F, EF, rows_dev, xs, z, col_pows, jnp.asarray(claimed)
+                    )  # (nq, D)
+                    ro_by_height[log_h] = (
+                        ro
+                        if log_h not in ro_by_height
+                        else EF.add(ro_by_height[log_h], ro)
+                    )
+
+        # 2. walk the fold rounds
+        cur = ro_by_height[log_max]  # (nq, D)
+        log_h = log_max
+        for r, ((pair_rows, mproof), beta) in enumerate(
+            zip(proof.query_proof.commit_phase_openings, betas)
+        ):
+            idx = q >> (log_max - log_h)
+            pair_idx = idx >> 1
+            ok = self.challenge_mmcs.verify_batch(
+                jnp.asarray(proof.commit_phase_commits[r]),
+                [(1 << (log_h - 1), 2 * EF.D)],
+                pair_idx,
+                [jnp.asarray(pair_rows)],
+                jnp.asarray(mproof),
+            )
+            if not ok:
+                raise ValueError(f"FRI: fold-round {r} Merkle verification failed")
+            pairs = jnp.asarray(pair_rows).reshape(nq, 2, EF.D)
+            # consistency: our running value must equal the opened slot
+            slot = jnp.asarray((idx & 1).astype(np.int32))
+            mine = jnp.take_along_axis(pairs, slot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            if not np.array_equal(np.asarray(mine), np.asarray(cur)):
+                raise ValueError(f"FRI: fold-round {r} consistency check failed")
+            # fold
+            h_gen = F.two_adic_generator_int(log_h)
+            xs_int = np.array(
+                [
+                    (F.generator_int * pow(h_gen, reverse_bits_len(int(t) << 1, log_h), p)) % p
+                    for t in pair_idx
+                ],
+                dtype=np.uint64,
+            )
+            inv2x = np.array(
+                [pow(int(2 * x) % p, p - 2, p) for x in xs_int], dtype=np.uint64
+            )
+            half = F.from_int((p + 1) // 2)
+            e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (nq,)))
+            o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), F.from_int(inv2x))
+            cur = EF.add(e, EF.mul(jnp.broadcast_to(beta, (nq, EF.D)), o))
+            log_h -= 1
+            if log_h in ro_by_height:
+                cur = EF.add(cur, ro_by_height[log_h])
+
+        # 3. final constant check
+        final = jnp.broadcast_to(jnp.asarray(proof.final_poly), (nq, EF.D))
+        if not np.array_equal(np.asarray(cur), np.asarray(final)):
+            raise ValueError("FRI: final polynomial mismatch")
+
+    def observe_commitment(self, challenger, commitment):
+        challenger.observe(jnp.asarray(commitment).reshape(-1))
+
+
+# ---- jitted helpers ------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _reduced_opening(F, EF, lde_nat, xs, zeta, col_pows, vals):
+    """sum_c apow_c * (f_c(x) - f_c(zeta)) / (x - zeta) over the whole domain.
+
+    lde_nat: (N, w) base; xs: (N,) base points; zeta: (D,); col_pows: (w, D);
+    vals: (w, D). Returns (N, D). One fused program: numerator contraction +
+    one batched EF inversion."""
+    num = None  # sum_c apow_c * f_c(x): (N, D)
+    w = lde_nat.shape[1]
+    for c in range(w):
+        t = F.mul(col_pows[c], lde_nat[:, c][..., None])
+        num = t if num is None else EF.add(num, t)
+    vsum = None  # sum_c apow_c * v_c : (D,)
+    for c in range(w):
+        t = EF.mul(col_pows[c], vals[c])
+        vsum = t if vsum is None else EF.add(vsum, t)
+    diff = EF.sub(num, vsum)
+    denom = EF.sub(EF.from_base(xs), zeta)  # (N, D)
+    return EF.mul(diff, EF.inv(denom))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _reduced_opening_at_queries(F, EF, rows, xs, zeta, col_pows, claimed):
+    """Same contraction at (nq,) query points: rows (nq, w), xs (nq,)."""
+    w = rows.shape[1]
+    num = None
+    for c in range(w):
+        t = F.mul(col_pows[c], rows[:, c][..., None])
+        num = t if num is None else EF.add(num, t)
+    vsum = None
+    for c in range(w):
+        t = EF.mul(col_pows[c], claimed[c])
+        vsum = t if vsum is None else EF.add(vsum, t)
+    diff = EF.sub(num, vsum)
+    denom = EF.sub(EF.from_base(xs), zeta)
+    return EF.mul(diff, EF.inv(denom))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _fold_round(F, EF, pairs, beta, log_h):
+    """One arity-2 FRI fold: pairs (half, 2, D) in bit-reversed layout ->
+    (half, D). e + beta*o with o = (p0 - p1)/(2x)."""
+    p = F.order
+    half_n = pairs.shape[0]
+    h_gen = F.two_adic_generator_int(log_h)
+    # 1/(2 x_i) with x_i = g*h^i is the geometric sequence (2g)^-1 * h^-i:
+    # one host power table, gathered bit-reversed (becomes an XLA constant).
+    h_inv = pow(h_gen, p - 2, p)
+    inv2g = pow((2 * F.generator_int) % p, p - 2, p)
+    inv2x = (np_powers(h_inv, half_n, p) * np.uint64(inv2g)) % np.uint64(p)
+    brev = bit_reverse_indices(half_n)
+    inv2x_brev = inv2x[np.asarray(brev, dtype=np.int64)]
+    half = F.from_int((p + 1) // 2)
+    e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
+    o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), F.from_int(inv2x_brev))
+    return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
