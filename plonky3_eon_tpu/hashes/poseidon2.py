@@ -7,18 +7,20 @@ Reference parity: `poseidon2/src/lib.rs:31` (generic Poseidon2),
 the AIR), `round_numbers.rs` (round counts).
 
 TPU-native design: a batch of states is a (batch, WIDTH) uint32 array in
-Montgomery form; the whole permutation (all rounds) is one trace-time
-unrolled jit program — adds/sbox are elementwise VPU ops, linear layers are
-static add networks, everything fuses. The reference packs a handful of
-states into AVX lanes; here the batch axis is the lane axis (thousands of
-states per call).
+Montgomery form. Rounds with identical structure run under `lax.scan` with
+the round constants as scan inputs — the compiled program contains ONE
+external-round body and ONE internal-round body regardless of round count
+(compiler-friendly control flow; an unrolled permutation at width 16 is
+~10^4 HLO ops and blows up compile time when absorbed repeatedly in a
+sponge). The batch axis is the VPU lane axis: thousands of states per call
+(the reference packs only 4-8 states into AVX registers).
 
 Round constants: the upstream per-field instances (removed crates
 `p3-baby-bear`/`p3-koala-bear`) sample constants from a seeded RNG. We
 generate deterministic parameters from a SHA-256 counter stream with
-rejection sampling (documented, reproducible across implementations); every
-constructor also accepts explicit constants for interop with external
-parameter sets (e.g. the zkhash BN254 instance).
+rejection sampling (documented, reproducible); every constructor also
+accepts explicit constants for interop with external parameter sets (e.g.
+the zkhash BN254 instance).
 """
 
 from __future__ import annotations
@@ -78,13 +80,11 @@ def deterministic_constants(F: Field, tag: str, n: int) -> np.ndarray:
     return out
 
 
-def external_linear_layer(F: Field, lanes: list, hl: bool = False) -> list:
-    """MDS-light layer on a list of WIDTH lane arrays (ref: `external.rs:113`).
+# ---- linear layers on lane LISTS (shared with AIR trace-gen taps) --------
 
-    Works on any ring values supporting F.add/F.double — jnp arrays in the
-    permutation, symbolic expressions in the Poseidon2 AIR (the
-    `GenericPoseidon2LinearLayers` reuse, `generic.rs:32`).
-    """
+
+def external_linear_layer(F: Field, lanes: list, hl: bool = False) -> list:
+    """MDS-light layer on a list of WIDTH lane arrays (ref: `external.rs:113`)."""
     w = len(lanes)
     add = F.add
     if w == 2:
@@ -119,7 +119,6 @@ def external_linear_layer(F: Field, lanes: list, hl: bool = False) -> list:
             y0 = add(t01123, t01)
             y2 = add(t01233, t23)
             out += [y0, y1, y2, y3]
-    # outer circulant [[2M, M, ...], [M, 2M, ...], ...]: add per-position block sums
     sums = []
     for j in range(4):
         s = out[j]
@@ -130,9 +129,7 @@ def external_linear_layer(F: Field, lanes: list, hl: bool = False) -> list:
 
 
 def internal_linear_layer(F: Field, lanes: list, diag) -> list:
-    """x_i <- diag_i * x_i + sum(x) (ref: `internal.rs:47` matmul_internal).
-
-    `diag` is a length-WIDTH array of field constants."""
+    """x_i <- diag_i * x_i + sum(x) (ref: `internal.rs:47`)."""
     s = lanes[0]
     for x in lanes[1:]:
         s = F.add(s, x)
@@ -142,7 +139,7 @@ def internal_linear_layer(F: Field, lanes: list, diag) -> list:
 class Poseidon2:
     """Batched Poseidon2 permutation over a prime field.
 
-    permute: (batch, WIDTH)+sfx -> same shape. One fused jit program.
+    permute: (batch, WIDTH) -> same shape. Compiled as scans over rounds.
     """
 
     def __init__(
@@ -173,32 +170,49 @@ class Poseidon2:
             internal_constants = deterministic_constants(F, "int", self.rounds_p)
         if internal_diag is None:
             internal_diag = deterministic_constants(F, "diag", width)
-        self.ext_consts = F.from_int(np.asarray(external_constants, dtype=np.uint64))
-        self.int_consts = F.from_int(np.asarray(internal_constants, dtype=np.uint64))
-        self.diag = F.from_int(np.asarray(internal_diag, dtype=np.uint64))
+        # canonical int copies (AIR constraint generation) + device constants
+        self.ext_consts_int = np.asarray(external_constants, dtype=np.uint64)
+        self.int_consts_int = np.asarray(internal_constants, dtype=np.uint64)
+        self.diag_int = np.asarray(internal_diag, dtype=np.uint64)
+        self.ext_consts_np = F.from_int_np(self.ext_consts_int)
+        self.int_consts_np = F.from_int_np(self.int_consts_int)
+        self.diag_np = F.from_int_np(self.diag_int)
+        self.ext_consts = jnp.asarray(self.ext_consts_np)
+        self.int_consts = jnp.asarray(self.int_consts_np)
+        self.diag = jnp.asarray(self.diag_np)
 
     def _sbox(self, x):
         return self.F.exp_const(x, self.d)
 
+    def _ext_layer_arr(self, st):
+        """External linear layer on a (batch, W) array."""
+        F, w = self.F, self.width
+        lanes = [st[:, i] for i in range(w)]
+        return jnp.stack(external_linear_layer(F, lanes, self.hl_mat4), axis=1)
+
     @functools.partial(jax.jit, static_argnums=0)
     def permute(self, state):
         F, w = self.F, self.width
-        lanes = [state[..., i] for i in range(w)]
         half_f = self.rounds_f // 2
-        lanes = external_linear_layer(F, lanes, self.hl_mat4)
-        for r in range(half_f):
-            lanes = [F.add(x, self.ext_consts[r, i]) for i, x in enumerate(lanes)]
-            lanes = [self._sbox(x) for x in lanes]
-            lanes = external_linear_layer(F, lanes, self.hl_mat4)
-        for r in range(self.rounds_p):
-            lanes[0] = F.add(lanes[0], self.int_consts[r])
-            lanes[0] = self._sbox(lanes[0])
-            lanes = internal_linear_layer(F, lanes, self.diag)
-        for r in range(half_f, self.rounds_f):
-            lanes = [F.add(x, self.ext_consts[r, i]) for i, x in enumerate(lanes)]
-            lanes = [self._sbox(x) for x in lanes]
-            lanes = external_linear_layer(F, lanes, self.hl_mat4)
-        return jnp.stack(lanes, axis=-1)
+
+        def ext_round(st, rc):
+            x = F.add(st, rc[None, :])
+            x = self._sbox(x)
+            return self._ext_layer_arr(x), None
+
+        def int_round(st, rc):
+            x0 = self._sbox(F.add(st[:, 0], rc))
+            st = st.at[:, 0].set(x0)
+            s = st[:, 0]
+            for i in range(1, w):
+                s = F.add(s, st[:, i])
+            return F.add(F.mul(st, self.diag[None, :]), s[:, None]), None
+
+        st = self._ext_layer_arr(state)
+        st, _ = jax.lax.scan(ext_round, st, self.ext_consts[:half_f])
+        st, _ = jax.lax.scan(int_round, st, self.int_consts)
+        st, _ = jax.lax.scan(ext_round, st, self.ext_consts[half_f:])
+        return st
 
     def __call__(self, state):
         return self.permute(state)

@@ -35,10 +35,24 @@ class PaddingFreeSponge:
         L = inputs.shape[1]
         sfx = inputs.shape[2:]
         state = jnp.zeros((batch, self.width) + sfx, inputs.dtype)
-        for off in range(0, L, self.rate):
-            chunk = inputs[:, off : off + self.rate]
-            k = chunk.shape[1]
-            state = state.at[:, :k].set(chunk)
+        n_full, rem = divmod(L, self.rate)
+        if n_full:
+            # scan over full-rate blocks: ONE absorb+permute body in the HLO
+            blocks = jnp.moveaxis(
+                inputs[:, : n_full * self.rate].reshape(
+                    (batch, n_full, self.rate) + sfx
+                ),
+                1,
+                0,
+            )
+
+            def absorb(st, blk):
+                st = st.at[:, : self.rate].set(blk)
+                return self.perm(st), None
+
+            state, _ = jax.lax.scan(absorb, state, blocks)
+        if rem:
+            state = state.at[:, :rem].set(inputs[:, n_full * self.rate :])
             state = self.perm(state)
         return state[:, : self.out]
 
@@ -145,10 +159,24 @@ class KeccakU64Sponge:
             L += 1
         lanes = words.reshape(batch, L // 2, 2)  # (lo, hi) u64 lanes
         state = jnp.zeros((batch, 25, 2), jnp.uint32)
-        for off in range(0, L // 2, self.RATE_U64):
-            chunk = lanes[:, off : off + self.RATE_U64]
-            k = chunk.shape[1]
-            state = state.at[:, :k].set(chunk)
+        n_lanes = L // 2
+        n_full, rem = divmod(n_lanes, self.RATE_U64)
+        if n_full:
+            blocks = jnp.moveaxis(
+                lanes[:, : n_full * self.RATE_U64].reshape(
+                    batch, n_full, self.RATE_U64, 2
+                ),
+                1,
+                0,
+            )
+
+            def absorb(st, blk):
+                st = st.at[:, : self.RATE_U64].set(blk)
+                return self.keccak_f(st), None
+
+            state, _ = jax.lax.scan(absorb, state, blocks)
+        if rem:
+            state = state.at[:, :rem].set(lanes[:, n_full * self.RATE_U64 :])
             state = self.keccak_f(state)
         return state[:, :4].reshape(batch, 8)
 
