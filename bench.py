@@ -22,6 +22,16 @@ import time
 
 
 def main():
+    import jax
+
+    # Persistent compilation cache: prover stages compile once per shape;
+    # later runs (and the driver's repeat invocations) hit the disk cache.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla_bench")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import numpy as np
 
     from plonky3_eon_tpu.challenger import DuplexChallenger

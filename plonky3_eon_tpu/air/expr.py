@@ -58,6 +58,32 @@ class Expr:
     def double(self):
         return self + self
 
+    # ---- block structure ops (see air/array_builder.py for the layout) --
+
+    def bcast(self, k: int):
+        """Prepend k unit block axes. Rarely needed: with lanes trailing,
+        lower-rank blocks right-align automatically."""
+        v, e = self.b._expand(self.v, self.ext, k)
+        return Expr(self.b, v, e)
+
+    def roll(self, shift: int, axis: int):
+        """Cyclically shift a block axis (e.g. Keccak's x-1 / z-1 taps)."""
+        return Expr(self.b, self.b._roll(self.v, self.ext, shift, axis), self.ext)
+
+    def gather(self, flat_idx, out_shape):
+        """Static permutation/selection of block entries: flatten the block
+        dims, take `flat_idx`, reshape to `out_shape` (e.g. Keccak's
+        rho-rotation B view of A')."""
+        return Expr(self.b, self.b._gather(self.v, self.ext, flat_idx, out_shape), self.ext)
+
+    def reshape_block(self, shape):
+        return Expr(self.b, self.b._reshape_block(self.v, self.ext, shape), self.ext)
+
+    def sum_block(self, axis: int):
+        """Sum block entries along a block axis (degree = max under the
+        symbolic builder)."""
+        return Expr(self.b, self.b._sum_block(self.v, self.ext, axis), self.ext)
+
 
 class RowPair:
     """Local/next row views of a trace matrix (ref: `VerticalPair` row pairs,

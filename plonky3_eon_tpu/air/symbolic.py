@@ -21,6 +21,8 @@ add -> max, mul -> sum.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..utils import log2_ceil
 from .builder import BuilderBase
 from .expr import Expr, RowPair
@@ -62,12 +64,42 @@ class SymbolicAirBuilder(BuilderBase):
         self.is_transition = Expr(self, 0, False)
         self.constraint_degrees: list[int] = []
 
-    # ring callbacks: values are degree multiples
+    # ring callbacks: values are degree multiples (ints, or numpy int
+    # arrays for block constraints — elementwise max/sum)
     def _const(self, x):
         return 0
 
+    def _const_array(self, arr):
+        return np.zeros(np.asarray(arr).shape, np.int64)
+
+    def _expand(self, v, ext, k):
+        if isinstance(v, np.ndarray):
+            return v.reshape((1,) * k + v.shape), ext
+        return v, ext
+
+    def _roll(self, v, ext, shift, axis):
+        return np.roll(v, shift, axis=axis) if isinstance(v, np.ndarray) else v
+
+    def _gather(self, v, ext, flat_idx, out_shape):
+        if isinstance(v, np.ndarray):
+            return v.reshape(-1)[np.asarray(flat_idx)].reshape(tuple(out_shape))
+        return v
+
+    def _reshape_block(self, v, ext, shape):
+        return v.reshape(tuple(shape)) if isinstance(v, np.ndarray) else v
+
+    def _sum_block(self, v, ext, axis):
+        # degree of a sum = max of the summand degrees
+        return np.max(v, axis=axis) if isinstance(v, np.ndarray) else v
+
+    def main_block(self, start, shape, nxt=False):
+        return Expr(self, np.ones(tuple(shape), np.int64), False)
+
+    def preprocessed_block(self, start, shape, nxt=False):
+        return Expr(self, np.ones(tuple(shape), np.int64), False)
+
     def _add(self, a, b, ea, eb):
-        return max(a, b), ea or eb
+        return np.maximum(a, b), ea or eb
 
     _sub = _add
 
@@ -78,7 +110,10 @@ class SymbolicAirBuilder(BuilderBase):
         return a, e
 
     def _accumulate(self, v, e):
-        self.constraint_degrees.append(v)
+        if isinstance(v, np.ndarray):
+            self.constraint_degrees.extend(int(x) for x in v.reshape(-1))
+        else:
+            self.constraint_degrees.append(int(v))
 
 
 def get_symbolic_constraints(air, num_public_values: int = 0, preprocessed_width: int = 0,

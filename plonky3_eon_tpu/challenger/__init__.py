@@ -27,6 +27,14 @@ class DuplexChallenger:
     Semantics mirror `duplex_challenger.rs`: observes buffer into the rate
     section (overwrite), duplex when RATE inputs accumulate or on sample with
     pending input; outputs pop from the end of state[:RATE].
+
+    The transcript lives entirely on the HOST as canonical ints (the duplex
+    permutation runs via `perm.permute_host`): it is sequential, one state
+    wide, and interleaved with host control flow, so device dispatch would
+    cost a round trip per observation (catastrophic over a TPU tunnel).
+    Device arrays observed are pulled to host once per `observe` call.
+    Only the PoW grind uses the device (one batched permute per candidate
+    block).
     """
 
     def __init__(self, F: Field, perm, width: int, rate: int):
@@ -34,38 +42,35 @@ class DuplexChallenger:
         self.perm = perm
         self.width = width
         self.rate = rate
-        self._state = F.zeros((width,))
-        self._input: list = []  # pending scalar element arrays (monty form)
-        self._output: list = []
+        self._state = np.zeros(width, dtype=np.uint64)  # canonical
+        self._input: list = []  # pending canonical Python ints
+        self._output: list = []  # canonical ints, pop from end
 
     def _duplex(self):
-        import jax.numpy as jnp
-
         if self._input:
-            vals = jnp.stack(self._input)
-            self._state = self._state.at[: len(self._input)].set(vals)
+            self._state[: len(self._input)] = np.asarray(self._input, dtype=np.uint64)
             self._input = []
-        self._state = self.perm(self._state[None, :])[0]
-        self._output = [self._state[i] for i in range(self.rate)]
+        self._state = self.perm.permute_host(self._state)
+        self._output = [int(x) for x in self._state[: self.rate]]
 
     # ---- observing ----------------------------------------------------
 
     def observe(self, value):
-        """Observe a scalar element (shape suffix of F's base) or array of
-        elements along axis 0."""
-        arr = value
-        if getattr(arr, "ndim", 0) == 0 or arr.shape == ():
-            elems = [arr]
-        else:
-            elems = [arr[i] for i in range(arr.shape[0])]
+        """Observe a scalar element or an array of elements along axis 0.
+        Accepts device (Montgomery-form) arrays or canonical numpy ints."""
+        ints = np.atleast_1d(self.F.to_ints(value)).reshape(-1)
         self._output = []
-        for e in elems:
-            self._input.append(e)
+        for e in ints:
+            self._input.append(int(e))
             if len(self._input) == self.rate:
                 self._duplex()
 
     def observe_ints(self, ints):
-        self.observe(self.F.from_int(np.asarray(ints, dtype=np.uint64)))
+        self._output = []
+        for e in np.asarray(ints, dtype=np.uint64).reshape(-1):
+            self._input.append(int(e) % self.F.order)
+            if len(self._input) == self.rate:
+                self._duplex()
 
     def observe_ext(self, value):
         """Observe an extension element (D,) as its base coefficients."""
@@ -73,14 +78,14 @@ class DuplexChallenger:
 
     # ---- sampling -----------------------------------------------------
 
-    def sample(self):
-        """Sample one base-field element (monty-form scalar array)."""
+    def sample_int(self) -> int:
         if self._input or not self._output:
             self._duplex()
         return self._output.pop()
 
-    def sample_int(self) -> int:
-        return int(self.F.to_ints(self.sample()))
+    def sample(self):
+        """Sample one base-field element (device scalar array)."""
+        return self.F.from_int(self.sample_int())
 
     def sample_bits(self, bits: int) -> int:
         return self.sample_int() & ((1 << bits) - 1)
@@ -88,47 +93,43 @@ class DuplexChallenger:
     def sample_ext(self, EF):
         """Sample an extension element as D base coefficients
         (ref: `FieldChallenger::sample_algebra_element`)."""
-        import jax.numpy as jnp
-
-        return jnp.stack([self.sample() for _ in range(EF.D)], axis=-1)
+        return EF.from_int(
+            np.asarray([self.sample_int() for _ in range(EF.D)], dtype=np.uint64)
+        )
 
     # ---- proof-of-work grind (ref: grinding_challenger.rs) -------------
 
     def grind(self, bits: int) -> int:
         """Find witness w (as int) with check_witness(bits, w) true, searching
-        the candidate space in device-wide batches."""
-        import jax.numpy as jnp
-
+        the candidate space in device-wide batches (the analogue of the
+        reference's rayon parallel witness search)."""
         batch = 4096
         F, W, R = self.F, self.width, self.rate
         # Snapshot the state the witness observation would see.
-        base_state = self._state
+        base_state = self._state.copy()
         pending = list(self._input)
         start = 0
         while True:
             cands = np.arange(start, start + batch, dtype=np.uint64) % F.order
-            cf = F.from_int(cands)
-            states = jnp.broadcast_to(base_state, (batch, W))
+            states = np.broadcast_to(base_state, (batch, W)).copy()
             if pending:
-                pv = jnp.stack(pending)
-                states = states.at[:, : len(pending)].set(pv[None, :])
-                states = states.at[:, len(pending)].set(cf)
+                states[:, : len(pending)] = np.asarray(pending, dtype=np.uint64)[None, :]
+                states[:, len(pending)] = cands
             else:
-                states = states.at[:, 0].set(cf)
-            out = self.perm(states)
-            samples = F.to_ints(out[:, R - 1])
-            hits = np.nonzero((samples & ((1 << bits) - 1)) == 0)[0]
+                states[:, 0] = cands
+            out = F.to_ints(self.perm(F.from_int(states)))
+            hits = np.nonzero((out[:, R - 1] & ((1 << bits) - 1)) == 0)[0]
             if hits.size:
                 w = int(cands[hits[0]])
                 # replay sequentially to update transcript state
-                self.observe(F.from_int(w))
+                self.observe_ints([w])
                 s = self.sample_int()
                 assert s & ((1 << bits) - 1) == 0
                 return w
             start += batch
 
     def check_witness(self, bits: int, witness_int: int) -> bool:
-        self.observe(self.F.from_int(witness_int))
+        self.observe_ints([witness_int])
         return self.sample_bits(bits) == 0
 
 

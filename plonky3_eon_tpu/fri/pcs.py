@@ -413,17 +413,14 @@ def _reduced_opening(F, EF, lde_nat, xs, zeta, col_pows, vals):
     """sum_c apow_c * (f_c(x) - f_c(zeta)) / (x - zeta) over the whole domain.
 
     lde_nat: (N, w) base; xs: (N,) base points; zeta: (D,); col_pows: (w, D);
-    vals: (w, D). Returns (N, D). One fused program: numerator contraction +
-    one batched EF inversion."""
-    num = None  # sum_c apow_c * f_c(x): (N, D)
-    w = lde_nat.shape[1]
-    for c in range(w):
-        t = F.mul(col_pows[c], lde_nat[:, c][..., None])
-        num = t if num is None else EF.add(num, t)
-    vsum = None  # sum_c apow_c * v_c : (D,)
-    for c in range(w):
-        t = EF.mul(col_pows[c], vals[c])
-        vsum = t if vsum is None else EF.add(vsum, t)
+    vals: (w, D). Returns (N, D). One fused program: a single batched column
+    contraction (no per-column unrolling — the w-axis stays an array axis so
+    the compiled program size is independent of trace width) + one batched
+    EF inversion."""
+    # sum_c apow_c * f_c(x): (N, w, D) -> (N, D)
+    num = EF.sum(F.mul(col_pows[None], lde_nat[..., None]), axis=1)
+    # sum_c apow_c * v_c : (w, D) -> (D,)
+    vsum = EF.sum(EF.mul(col_pows, vals), axis=0)
     diff = EF.sub(num, vsum)
     denom = EF.sub(EF.from_base(xs), zeta)  # (N, D)
     return EF.mul(diff, EF.inv(denom))
@@ -432,15 +429,8 @@ def _reduced_opening(F, EF, lde_nat, xs, zeta, col_pows, vals):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _reduced_opening_at_queries(F, EF, rows, xs, zeta, col_pows, claimed):
     """Same contraction at (nq,) query points: rows (nq, w), xs (nq,)."""
-    w = rows.shape[1]
-    num = None
-    for c in range(w):
-        t = F.mul(col_pows[c], rows[:, c][..., None])
-        num = t if num is None else EF.add(num, t)
-    vsum = None
-    for c in range(w):
-        t = EF.mul(col_pows[c], claimed[c])
-        vsum = t if vsum is None else EF.add(vsum, t)
+    num = EF.sum(F.mul(col_pows[None], rows[..., None]), axis=1)
+    vsum = EF.sum(EF.mul(col_pows, claimed), axis=0)
     diff = EF.sub(num, vsum)
     denom = EF.sub(EF.from_base(xs), zeta)
     return EF.mul(diff, EF.inv(denom))

@@ -80,6 +80,24 @@ def deterministic_constants(F: Field, tag: str, n: int) -> np.ndarray:
     return out
 
 
+class _HostModOps:
+    """Minimal host-side mod-p ops (uint64 numpy) matching the Field
+    methods used by the linear layers — lets `external_linear_layer` run on
+    canonical host values for the transcript path."""
+
+    def __init__(self, p: int):
+        self.p = np.uint64(p)
+
+    def add(self, a, b):
+        return (a + b) % self.p
+
+    def mul(self, a, b):
+        return (a * b) % self.p
+
+    def double(self, a):
+        return (a + a) % self.p
+
+
 # ---- linear layers on lane LISTS (shared with AIR trace-gen taps) --------
 
 
@@ -216,6 +234,60 @@ class Poseidon2:
 
     def __call__(self, state):
         return self.permute(state)
+
+    # ---- host-side permutation (canonical ints) ------------------------
+
+    def permute_host(self, state: np.ndarray) -> np.ndarray:
+        """Permute canonical uint64 states (..., W) entirely on the host.
+
+        The Fiat-Shamir transcript is inherently sequential and one state
+        wide — dispatching each duplex to the device costs a full
+        host<->device round trip (disastrous over a TPU tunnel). The
+        reference runs its challenger on the CPU for the same reason; this
+        is the numpy equivalent. Products of two <2^31 canonical values fit
+        in uint64, so everything is branchless numpy modular arithmetic.
+        """
+        p = self.F.order
+        if p >= 1 << 32:
+            raise NotImplementedError("host permute supports 31/32-bit fields")
+        ops = _HostModOps(p)
+        w = self.width
+        half_f = self.rounds_f // 2
+        st = [np.asarray(state[..., i], dtype=np.uint64) % np.uint64(p) for i in range(w)]
+
+        def sbox(x):
+            # square-and-multiply on the fixed exponent d
+            acc = None
+            ee = self.d
+            base = x
+            while ee:
+                if ee & 1:
+                    acc = base if acc is None else ops.mul(acc, base)
+                ee >>= 1
+                if ee:
+                    base = ops.mul(base, base)
+            return acc
+
+        def ext_round(st, rc):
+            st = [sbox(ops.add(x, np.uint64(rc[i]))) for i, x in enumerate(st)]
+            return external_linear_layer(ops, st, self.hl_mat4)
+
+        def int_round(st, rc):
+            st = list(st)
+            st[0] = sbox(ops.add(st[0], np.uint64(rc)))
+            s = st[0]
+            for x in st[1:]:
+                s = ops.add(s, x)
+            return [ops.add(ops.mul(x, np.uint64(self.diag_int[i])), s) for i, x in enumerate(st)]
+
+        st = external_linear_layer(ops, st, self.hl_mat4)
+        for r in range(half_f):
+            st = ext_round(st, self.ext_consts_int[r])
+        for r in range(self.rounds_p):
+            st = int_round(st, self.int_consts_int[r])
+        for r in range(half_f, self.rounds_f):
+            st = ext_round(st, self.ext_consts_int[r])
+        return np.stack(st, axis=-1)
 
     def __hash__(self):
         return id(self)

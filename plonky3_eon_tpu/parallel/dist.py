@@ -70,16 +70,8 @@ def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1):
 
         # 3. quotient fold — row parallel (second all_to_all)
         lde_rs = jax.lax.with_sharding_constraint(lde, row_sharded)
-        nxt = jnp.roll(lde_rs, -next_step, axis=0)
-        folder = ConstraintFolder(
-            F, EF, main=None, public_values=[],
-            is_first_row=None, is_last_row=None, is_transition=None, alpha=alpha,
-        )
-        w = lde_rs.shape[1]
-        folder.main = RowPair(
-            [Expr(folder, lde_rs[:, c], False) for c in range(w)],
-            [Expr(folder, nxt[:, c], False) for c in range(w)],
-        )
+        folder = ConstraintFolder(F, EF, alpha, num_lanes=lde_rs.shape[0])
+        folder.set_main(lde_rs.T, jnp.roll(lde_rs, -next_step, axis=0).T, ext=False)
         folder.public_values = []
         folder.is_first_row = Expr(folder, sels.is_first_row, False)
         folder.is_last_row = Expr(folder, sels.is_last_row, False)

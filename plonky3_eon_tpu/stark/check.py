@@ -5,7 +5,8 @@ evaluates every constraint on every row of the raw trace and asserts zero).
 TPU-native: instead of a row loop, each constraint is evaluated as one
 vectorized array over all n rows (with wraparound 'next'), with one-hot
 first/last-row selectors; the host then checks all-zeros and reports the
-failing constraint index + rows.
+failing constraint index + rows. Values use the lanes-trailing layout of
+`air/array_builder.py`; block constraints are checked as whole tensors.
 """
 
 from __future__ import annotations
@@ -13,33 +14,26 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..air.array_builder import ArrayOpsMixin
 from ..air.builder import BuilderBase
-from ..air.expr import Expr, RowPair
+from ..air.expr import Expr
 
 
-class DebugConstraintBuilder(BuilderBase):
+class DebugConstraintBuilder(ArrayOpsMixin, BuilderBase):
     def __init__(self, F, EF, trace, public_values, preprocessed=None,
                  permutation=None, permutation_challenges=()):
         self.F = F
         self.EF = EF
-        n, w = trace.shape[0], trace.shape[1]
-        nxt = jnp.roll(trace, -1, axis=0)
-        self.main = RowPair(
-            [Expr(self, trace[:, c], False) for c in range(w)],
-            [Expr(self, nxt[:, c], False) for c in range(w)],
-        )
+        n = trace.shape[0]
+        self.num_lanes = n
+        self._init_mats()
+        self.set_main(trace.T, jnp.roll(trace, -1, axis=0).T, ext=False)
         if preprocessed is not None:
-            pnxt = jnp.roll(preprocessed, -1, axis=0)
-            self.preprocessed = RowPair(
-                [Expr(self, preprocessed[:, c], False) for c in range(preprocessed.shape[1])],
-                [Expr(self, pnxt[:, c], False) for c in range(preprocessed.shape[1])],
+            self.set_preprocessed(
+                preprocessed.T, jnp.roll(preprocessed, -1, axis=0).T, ext=False
             )
-        if permutation is not None:
-            pnxt = jnp.roll(permutation, -1, axis=0)
-            self.permutation = RowPair(
-                [Expr(self, permutation[:, c], True) for c in range(permutation.shape[1])],
-                [Expr(self, pnxt[:, c], True) for c in range(permutation.shape[1])],
-            )
+        if permutation is not None:  # (N, W*D) flattened base columns
+            self.set_permutation(permutation.T, jnp.roll(permutation, -1, axis=0).T)
         self.permutation_challenges = [Expr(self, c, True) for c in permutation_challenges]
         self.public_values = [
             Expr(self, F.from_int(int(pv)), False) for pv in np.asarray(public_values).reshape(-1)
@@ -53,36 +47,8 @@ class DebugConstraintBuilder(BuilderBase):
         self.is_transition = Expr(self, F.from_int(1 - last), False)
         self._constraints = []
 
-    def _const(self, x):
-        return self.F.from_int(int(x) % self.F.order)
-
-    def _embed(self, v):
-        return self.EF.from_base(v)
-
-    def _add(self, a, b, ea, eb):
-        if ea == eb:
-            return (self.EF.add(a, b) if ea else self.F.add(a, b)), ea
-        return (self.EF.add(a, self._embed(b)) if ea else self.EF.add(self._embed(a), b)), True
-
-    def _sub(self, a, b, ea, eb):
-        if ea == eb:
-            return (self.EF.sub(a, b) if ea else self.F.sub(a, b)), ea
-        return (self.EF.sub(a, self._embed(b)) if ea else self.EF.sub(self._embed(a), b)), True
-
-    def _mul(self, a, b, ea, eb):
-        if ea and eb:
-            return self.EF.mul(a, b), True
-        if ea:
-            return self.EF.mul_base(a, b), True
-        if eb:
-            return self.EF.mul_base(b, a), True
-        return self.F.mul(a, b), False
-
-    def _neg(self, a, e):
-        return (self.EF.neg(a) if e else self.F.neg(a)), e
-
     def _accumulate(self, v, ext):
-        self._constraints.append(v)
+        self._constraints.append((v, ext))
 
 
 def check_constraints(air, F, EF, trace, public_values, preprocessed=None,
@@ -92,10 +58,12 @@ def check_constraints(air, F, EF, trace, public_values, preprocessed=None,
         F, EF, trace, public_values, preprocessed, permutation, permutation_challenges
     )
     air.eval(b)
-    for i, c in enumerate(b._constraints):
+    for i, (c, ext) in enumerate(b._constraints):
         arr = np.asarray(c)
         if arr.any():
-            axes = tuple(range(1, arr.ndim))
+            # lane axis is the last block-external axis: reduce all others
+            lane_axis = arr.ndim - 1 - (1 if ext else 0)
+            axes = tuple(a for a in range(arr.ndim) if a != lane_axis)
             bad = np.nonzero(arr.any(axis=axes) if axes else arr)[0]
             raise AssertionError(
                 f"constraint {i} violated on rows {bad[:10].tolist()} "

@@ -41,30 +41,12 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
     next_step = quotient_domain.size // trace_domain.size
 
     def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, prep_lde):
-        w = trace_lde.shape[1]
-        nxt = jnp.roll(trace_lde, -next_step, axis=0)
-        folder = ConstraintFolder(
-            F,
-            EF,
-            main=RowPair(
-                [None] * w,  # placeholders, filled below with Exprs
-                [None] * w,
-            ),
-            public_values=[],
-            is_first_row=None,
-            is_last_row=None,
-            is_transition=None,
-            alpha=alpha,
-        )
-        folder.main = RowPair(
-            [Expr(folder, trace_lde[:, c], False) for c in range(w)],
-            [Expr(folder, nxt[:, c], False) for c in range(w)],
-        )
+        folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0])
+        # lanes-trailing layout (air/array_builder.py): matrices transposed
+        folder.set_main(trace_lde.T, jnp.roll(trace_lde, -next_step, axis=0).T, ext=False)
         if prep_lde is not None:
-            pn = jnp.roll(prep_lde, -next_step, axis=0)
-            folder.preprocessed = RowPair(
-                [Expr(folder, prep_lde[:, c], False) for c in range(prep_lde.shape[1])],
-                [Expr(folder, pn[:, c], False) for c in range(prep_lde.shape[1])],
+            folder.set_preprocessed(
+                prep_lde.T, jnp.roll(prep_lde, -next_step, axis=0).T, ext=False
             )
         folder.public_values = [
             Expr(folder, F.from_int(int(pv)), False)

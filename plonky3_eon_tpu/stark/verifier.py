@@ -66,26 +66,11 @@ def verify_constraints(air, F, EF, trace_local, trace_next, public_values,
     """Evaluate the AIR at zeta and check folded * Z^-1 == quotient
     (ref: `verifier.rs:74-125`)."""
     sels = trace_domain.selectors_at_point_ext(EF, zeta)
-    folder = ConstraintFolder(
-        F,
-        EF,
-        main=None,
-        public_values=[],
-        is_first_row=None,
-        is_last_row=None,
-        is_transition=None,
-        alpha=alpha,
-    )
-    w = trace_local.shape[0]
-    folder.main = RowPair(
-        [Expr(folder, jnp.asarray(trace_local)[c], True) for c in range(w)],
-        [Expr(folder, jnp.asarray(trace_next)[c], True) for c in range(w)],
-    )
+    folder = ConstraintFolder(F, EF, alpha, num_lanes=None)
+    folder.set_main(jnp.asarray(trace_local), jnp.asarray(trace_next), ext=True)
     if preprocessed_local is not None:
-        pw = preprocessed_local.shape[0]
-        folder.preprocessed = RowPair(
-            [Expr(folder, jnp.asarray(preprocessed_local)[c], True) for c in range(pw)],
-            [Expr(folder, jnp.asarray(preprocessed_next)[c], True) for c in range(pw)],
+        folder.set_preprocessed(
+            jnp.asarray(preprocessed_local), jnp.asarray(preprocessed_next), ext=True
         )
     folder.public_values = [
         Expr(folder, F.from_int(int(pv)), False)

@@ -5,7 +5,10 @@ sharding paths (Mesh/shard_map) are exercised without TPU hardware
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the harness environment pins JAX_PLATFORMS to the
+# real TPU tunnel, which makes every jit compile remotely — tests must run on
+# the local CPU backend with 8 virtual devices instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
