@@ -134,6 +134,11 @@ class ArrayOpsMixin:
         v = self.F.from_int(np.asarray(arr, dtype=np.uint64))
         return v[..., None] if self.num_lanes is not None else v
 
+    def _ext_const(self, v):
+        import jax.numpy as jnp
+
+        return jnp.asarray(v)
+
     def _embed(self, v):
         return self.EF.from_base(v)
 

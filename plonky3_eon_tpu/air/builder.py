@@ -61,6 +61,11 @@ class BuilderBase:
         """Block of constants (e.g. round-constant bit tables)."""
         return Expr(self, self._const_array(arr), False)
 
+    def ext_constant(self, v) -> Expr:
+        """A fixed extension-field element (e.g. a prover-supplied cumulative
+        value transported in the proof)."""
+        return Expr(self, self._ext_const(v), True)
+
     def main_block(self, start: int, shape, nxt: bool = False) -> Expr:
         """Columns [start, start+prod(shape)) of the main trace as one block
         Expr of the given block shape."""

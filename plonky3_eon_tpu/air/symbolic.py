@@ -72,6 +72,9 @@ class SymbolicAirBuilder(BuilderBase):
     def _const_array(self, arr):
         return np.zeros(np.asarray(arr).shape, np.int64)
 
+    def _ext_const(self, v):
+        return 0
+
     def _expand(self, v, ext, k):
         if isinstance(v, np.ndarray):
             return v.reshape((1,) * k + v.shape), ext

@@ -30,24 +30,59 @@ from .folder import ConstraintFolder
 from .proof import Commitments, OpenedValues, Proof
 
 
+#: compiled quotient-fold programs, keyed by (air identity, shapes, fields).
+#: The fold closure is rebuilt per call, so without this cache jax.jit would
+#: re-trace AND re-compile the (large) folded-constraint program on every
+#: prove — the compile dominates end-to-end latency (~100x the run time).
+_FOLD_CACHE: dict = {}
+
+
 def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public_values,
-                    alpha, preprocessed_lde=None):
+                    alpha, preprocessed_lde=None, permutation_lde=None,
+                    permutation_challenges=None):
     """Evaluate sum_j alpha^j C_j(x) * Z_H(x)^-1 over the quotient domain.
 
-    Returns an EF matrix (N, D). Traced+compiled once per shape
-    (ref: `quotient_values`, `uni-stark/src/prover.rs:379`).
+    Returns an EF matrix (N, D). Traced+compiled once per
+    (air, shape, public-values) and cached across prove calls
+    (ref: `quotient_values`, `uni-stark/src/prover.rs:379`; the permutation
+    arguments mirror `eon-uni-stark/src/prover.rs:539-709`).
+
+    permutation_lde: (N, W*D) base-flattened LDE of the lookup aux trace.
+    permutation_challenges: (num_challenges, D) device array (traced, so
+    fresh Fiat-Shamir challenges don't trigger recompilation).
     """
     sels = trace_domain.selectors_on_coset(quotient_domain)
     next_step = quotient_domain.size // trace_domain.size
+    has_prep = preprocessed_lde is not None
+    has_perm = permutation_lde is not None
+    cache_key = (
+        id(air), F.name, EF.name, trace_lde.shape, next_step,
+        tuple(int(v) for v in np.asarray(public_values).reshape(-1)),
+        None if not has_prep else preprocessed_lde.shape,
+        None if not has_perm else permutation_lde.shape,
+        # eon: global-lookup cumulative values are baked as constants into
+        # the traced program — bust the cache when they change
+        getattr(air, "fold_cache_token", None),
+    )
 
-    def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, prep_lde):
+    def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, *opt):
         folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0])
         # lanes-trailing layout (air/array_builder.py): matrices transposed
         folder.set_main(trace_lde.T, jnp.roll(trace_lde, -next_step, axis=0).T, ext=False)
-        if prep_lde is not None:
+        i = 0
+        if has_prep:
+            prep = opt[i]
+            i += 1
             folder.set_preprocessed(
-                prep_lde.T, jnp.roll(prep_lde, -next_step, axis=0).T, ext=False
+                prep.T, jnp.roll(prep, -next_step, axis=0).T, ext=False
             )
+        if has_perm:
+            perm, chs = opt[i], opt[i + 1]
+            i += 2
+            folder.set_permutation(perm.T, jnp.roll(perm, -next_step, axis=0).T)
+            folder.permutation_challenges = [
+                Expr(folder, chs[j], True) for j in range(chs.shape[0])
+            ]
         folder.public_values = [
             Expr(folder, F.from_int(int(pv)), False)
             for pv in np.asarray(public_values).reshape(-1)
@@ -59,14 +94,18 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
         acc = folder.folded()  # (N, D)
         return EF.mul_base(acc, inv_vanishing)
 
-    fn = jax.jit(fold_fn) if preprocessed_lde is not None else jax.jit(
-        lambda t, a, f, l, tr, iv: fold_fn(t, a, f, l, tr, iv, None)
-    )
-    if preprocessed_lde is not None:
-        return fn(trace_lde, alpha, sels.is_first_row, sels.is_last_row,
-                  sels.is_transition, sels.inv_vanishing, preprocessed_lde)
+    fn = _FOLD_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(fold_fn)
+        _FOLD_CACHE[cache_key] = fn
+    opt_args = []
+    if has_prep:
+        opt_args.append(preprocessed_lde)
+    if has_perm:
+        opt_args.append(permutation_lde)
+        opt_args.append(jnp.asarray(permutation_challenges))
     return fn(trace_lde, alpha, sels.is_first_row, sels.is_last_row,
-              sels.is_transition, sels.inv_vanishing)
+              sels.is_transition, sels.inv_vanishing, *opt_args)
 
 
 def prove(config, air, trace, public_values=(), check_witness: bool = False):
