@@ -1,0 +1,169 @@
+"""Device-side batched BN254 G1 arithmetic + multi-scalar multiplication.
+
+Reference parity: `bn254/src/curve.rs:74-269` (`G1` add/double/scalar-mul,
+`G1::multi_exp` -> halo2curves Pippenger `msm_best`).
+
+TPU-native design: points are (..., 3, 16) projective (X:Y:Z) coordinate
+arrays over the 16-digit Fp limbs of `fields/bigfield.py`. Addition uses the
+COMPLETE projective formulas for j-invariant-0 curves (Renes-Costello-Batina
+2016, Algorithm 7): one branchless 12M formula handles generic addition,
+doubling, and the identity (0:1:0) uniformly — exactly what batched lanes
+and `lax.scan` need (halo2curves branches per point; a TPU lane cannot).
+The MSM runs as a scan over the 254 scalar bits with lane-parallel
+conditional accumulation, then a log-depth tree reduction across points.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.bigfield import Bn254Fp as Fp, Bn254Fr as Fr, NUM_DIGITS, _to_digits
+from . import pairing as host
+
+# 3*b = 9 in Montgomery digit form — a host numpy constant (safe to close
+# over inside jit traces, unlike a device array built mid-trace)
+_B3 = _to_digits(9 * Fp.R_int % Fp.order)
+
+
+def _b3():
+    return jnp.asarray(_B3)
+
+
+def g1_identity(shape=()):
+    """(0 : 1 : 0)."""
+    z = jnp.zeros(tuple(shape) + (3, NUM_DIGITS), jnp.uint32)
+    one = Fp.ones(tuple(shape))
+    return z.at[..., 1, :].set(one)
+
+
+def g1_add(p, q):
+    """Complete projective addition (RCB16 Alg. 7, a=0, b3=9).
+    p, q: (..., 3, 16) -> (..., 3, 16)."""
+    X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+    b3 = jnp.broadcast_to(_b3(), X1.shape)
+    mul, add, sub = Fp.mul, Fp.add, Fp.sub
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(sub(mul(add(X1, Y1), add(X2, Y2)), t0), t1)
+    t4 = sub(sub(mul(add(Y1, Z1), add(Y2, Z2)), t1), t2)
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(sub(X3, t0), t2)  # X1Z2 + X2Z1
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)  # 3 X1X2
+    t2 = mul(b3, t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return jnp.stack([X3, Y3, Z3], axis=-2)
+
+
+g1_add_jit = jax.jit(g1_add)
+
+
+def g1_double(p):
+    return g1_add(p, p)
+
+
+# ---- host <-> device -------------------------------------------------------
+
+
+def points_from_affine_ints(pts) -> jnp.ndarray:
+    """[(x, y) | None, ...] host ints -> (N, 3, 16) projective device array."""
+    n = len(pts)
+    xs = np.zeros(n, dtype=object)
+    ys = np.zeros(n, dtype=object)
+    zs = np.zeros(n, dtype=object)
+    for i, pt in enumerate(pts):
+        if pt is None:
+            xs[i], ys[i], zs[i] = 0, 1, 0
+        else:
+            xs[i], ys[i], zs[i] = int(pt[0]), int(pt[1]), 1
+    return jnp.stack(
+        [Fp.from_int(xs), Fp.from_int(ys), Fp.from_int(zs)], axis=-2
+    )
+
+
+def points_to_affine_ints(p) -> list:
+    """(..., 3, 16) -> [(x, y) | None] host ints."""
+    arr = np.asarray(p).reshape(-1, 3, NUM_DIGITS)
+    xs = Fp.to_ints(arr[:, 0])
+    ys = Fp.to_ints(arr[:, 1])
+    zs = Fp.to_ints(arr[:, 2])
+    out = []
+    for x, y, z in zip(xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)):
+        if int(z) == 0:
+            out.append(None)
+        else:
+            zi = pow(int(z), -1, Fp.order)
+            out.append((int(x) * zi % Fp.order, int(y) * zi % Fp.order))
+    return out
+
+
+# ---- MSM --------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _msm_scan(points, bits):
+    """points: (N, 3, 16); bits: (254, N) uint32 MSB-first.
+    Per-lane double-and-add under lax.scan, then tree-reduce across N."""
+    n = points.shape[0]
+    acc0 = g1_identity((n,))
+
+    def step(acc, bit_row):
+        acc = g1_add(acc, acc)
+        added = g1_add(acc, points)
+        sel = bit_row[:, None, None].astype(jnp.uint32)
+        acc = jnp.where(sel != 0, added, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, bits)
+    # tree reduction across the point axis
+    m = acc.shape[0]
+    while m > 1:
+        half = m // 2
+        lo, hi = acc[:half], acc[half : 2 * half]
+        red = g1_add(lo, hi)
+        if m % 2:
+            red = jnp.concatenate([red, acc[2 * half : m]], axis=0)
+            m = half + 1
+        else:
+            m = half
+        acc = red
+    return acc[0]
+
+
+def msm(points, scalars) -> jnp.ndarray:
+    """sum_i scalars_i * points_i (ref: `G1::multi_exp`, `curve.rs:158`).
+
+    points: (N, 3, 16) device array; scalars: iterable of ints (or Fr device
+    array, converted via to_ints). Returns one (3, 16) projective point."""
+    if hasattr(scalars, "shape") and not isinstance(scalars, (list, tuple, np.ndarray)):
+        scalars = Fr.to_ints(scalars)
+    ints = [int(s) % Fr.order for s in np.asarray(scalars, dtype=object).reshape(-1)]
+    nbits = Fr.order.bit_length()  # 254
+    n = len(ints)
+    bits = np.zeros((nbits, n), dtype=np.uint32)
+    for i, s in enumerate(ints):
+        for j in range(nbits):
+            bits[j, i] = (s >> (nbits - 1 - j)) & 1
+    return _msm_scan(points, jnp.asarray(bits))
+
+
+def g1_scalar_mul(point, k: int):
+    """Single-point scalar mul via the batched path."""
+    return msm(point[None], [k])
