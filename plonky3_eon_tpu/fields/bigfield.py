@@ -78,14 +78,18 @@ class BigPrimeField(Field):
 
     # ---- host <-> device -----------------------------------------------
 
-    def from_int(self, x):
-        """Canonical Python ints / numpy -> Montgomery-form digit arrays."""
+    def from_int_np(self, x) -> np.ndarray:
+        """Canonical Python ints / numpy -> Montgomery digit arrays (host)."""
         arr = np.asarray(x, dtype=object)
         flat = arr.reshape(-1)
         out = np.zeros((flat.size, NUM_DIGITS), dtype=np.uint32)
         for i, v in enumerate(flat):
             out[i] = _to_digits(int(v) * self.R_int % self.order)
-        return jnp.asarray(out.reshape(arr.shape + (NUM_DIGITS,)))
+        return out.reshape(arr.shape + (NUM_DIGITS,))
+
+    def from_int(self, x):
+        """Canonical Python ints / numpy -> Montgomery-form digit arrays."""
+        return jnp.asarray(self.from_int_np(x))
 
     def to_ints(self, a) -> np.ndarray:
         """Montgomery-form digit arrays -> canonical Python ints (object)."""

@@ -36,7 +36,15 @@ from ..utils import bit_reverse_indices, log2_strict
 
 
 def np_powers(base: int, n: int, p: int) -> np.ndarray:
-    """[1, base, ..., base^(n-1)] mod p as uint64 numpy (host, log-doubling)."""
+    """[1, base, ..., base^(n-1)] mod p as uint64 numpy (host, log-doubling).
+    For p >= 2^63 (BN254) the powers are exact Python ints (object dtype)."""
+    if p >= 1 << 63:
+        out = np.empty(max(n, 1), dtype=object)
+        out[0] = 1
+        b = base % p
+        for i in range(1, n):
+            out[i] = out[i - 1] * b % p
+        return out[:n]
     out = np.ones(max(n, 1), dtype=np.uint64)
     if n <= 1:
         return out[:n]
