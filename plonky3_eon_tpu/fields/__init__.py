@@ -3,6 +3,8 @@
 from .field import Field, Ring, mulhi32
 from .monty31 import BabyBear, KoalaBear, MontyField31
 from .mersenne31 import Mersenne31, Mersenne31Field
+from .goldilocks import Goldilocks, GoldilocksField
+from .bigfield import BigPrimeField, Bn254Fr, Bn254Fp
 from .extension import (
     BabyBear4,
     BabyBear5,

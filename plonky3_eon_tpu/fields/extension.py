@@ -28,8 +28,6 @@ from .mersenne31 import Mersenne31
 
 class BinomialExtension(Field):
     def __init__(self, base: Field, D: int, W_int: int, name: str | None = None):
-        if base.shape_suffix != ():
-            raise NotImplementedError("extension towers not supported; use a flat binomial extension")
         if (base.order - 1) % D != 0:
             raise ValueError(f"{base.name}: D={D} must divide p-1 for a binomial extension")
         self.base = base
@@ -38,7 +36,10 @@ class BinomialExtension(Field):
         self.name = name or f"{base.name}^{D}"
         self.order = base.order**D
         self.characteristic = base.characteristic
-        self.shape_suffix = (D,)
+        #: coefficient axis sits BEFORE the base field's own limb suffix
+        #: (e.g. (D,) over 31-bit fields, (D, 2) over Goldilocks u32 pairs)
+        self.shape_suffix = (D,) + base.shape_suffix
+        self._bs = len(base.shape_suffix)
         self._W = base.from_int(self.W_int)
         # Frobenius scalars: frob^k scales coeff i by (W^((p-1)/D))^(i*k)
         z = pow(self.W_int, (base.order - 1) // D, base.order)
@@ -51,14 +52,28 @@ class BinomialExtension(Field):
 
     # ---- representation ----------------------------------------------
 
+    def _c(self, a, i: int):
+        """i-th extension coefficient (skipping the base limb suffix)."""
+        if self._bs:
+            return a[(Ellipsis, i) + (slice(None),) * self._bs]
+        return a[..., i]
+
+    def _set0(self, out, val):
+        idx = (Ellipsis, 0) + (slice(None),) * self._bs
+        return out.at[idx].set(val)
+
+    def _stack(self, cs):
+        return jnp.stack(cs, axis=-(1 + self._bs))
+
     def ones(self, shape=()):
         o = self.zeros(shape)
-        return o.at[..., 0].set(self.base.ones(shape))
+        return self._set0(o, self.base.ones(shape))
 
     def from_base(self, a):
-        """Embed base-field array (...,) -> extension array (..., D)."""
-        out = jnp.zeros(a.shape + (self.D,), self.dtype)
-        return out.at[..., 0].set(a)
+        """Embed base-field array -> extension array (..., D[, base sfx])."""
+        batch = a.shape[: a.ndim - self._bs]
+        out = jnp.zeros(batch + self.shape_suffix, self.dtype)
+        return self._set0(out, a)
 
     def from_int(self, x):
         """Canonical int(s): accepts a single int (embedded) or a last-dim-D array."""
@@ -66,9 +81,9 @@ class BinomialExtension(Field):
 
         arr = np.asarray(x, dtype=object)
         if arr.ndim == 0 or arr.shape[-1] != self.D:
-            base = self.base.from_int(arr.astype(np.uint64) if arr.dtype == object else arr)
+            base = self.base.from_int(arr)
             return self.from_base(base)
-        return self.base.from_int(arr.astype(np.uint64))
+        return self.base.from_int(arr)
 
     def to_ints(self, a):
         return self.base.to_ints(a)
@@ -92,27 +107,27 @@ class BinomialExtension(Field):
             acc_hi = None  # terms needing * W
             for i in range(D):
                 j = (k - i) % D
-                t = F.mul(a[..., i], b[..., j])
+                t = F.mul(self._c(a, i), self._c(b, j))
                 if i + j >= D:
                     acc_hi = t if acc_hi is None else F.add(acc_hi, t)
                 else:
                     acc = t if acc is None else F.add(acc, t)
             if acc_hi is not None:
-                acc_hi = F.mul(acc_hi, self._W)
+                acc_hi = F.mul(acc_hi, jnp.broadcast_to(self._W, acc_hi.shape))
                 acc = acc_hi if acc is None else F.add(acc, acc_hi)
             cs.append(acc)
-        return jnp.stack(cs, axis=-1)
+        return self._stack(cs)
 
     def mul_base(self, a, b):
-        """Extension (...,D) times base (...,) — the Algebra op."""
-        return self.base.mul(a, b[..., None])
+        """Extension times base — the Algebra op."""
+        return self.base.mul(a, jnp.expand_dims(b, axis=-1 - self._bs))
 
     def halve(self, a):
         return self.base.halve(a)
 
     def frobenius(self, a, k: int = 1):
         """a^(p^k): coefficient-wise scaling (ref: `HasFrobenius`)."""
-        return self.base.mul(a, self._frob_consts[k % self.D])
+        return self.base.mul(a, jnp.broadcast_to(self._frob_consts[k % self.D], a.shape))
 
     def inv(self, a):
         F, D = self.base, self.D
@@ -122,7 +137,7 @@ class BinomialExtension(Field):
         for k in range(2, D):
             acc = self.mul(acc, self.frobenius(a, k))
         norm_full = self.mul(a, acc)  # lies in base field: coeffs 1..D-1 are 0
-        n_inv = F.inv(norm_full[..., 0])
+        n_inv = F.inv(self._c(norm_full, 0))
         return self.mul_base(acc, n_inv)
 
     def __repr__(self):
@@ -148,3 +163,7 @@ KoalaBear8 = BinomialExtension(KoalaBear, 8, 3)
 Mersenne31Cubic = BinomialExtension(Mersenne31, 3, 5)
 # Complex extension for the circle group (X^2 + 1, p == 3 mod 4)
 Mersenne31Complex = BinomialExtension(Mersenne31, 2, Mersenne31.order - 1, name="M31Complex")
+# Goldilocks quadratic extension (upstream p3-goldilocks: X^2 - 7)
+from .goldilocks import Goldilocks  # noqa: E402
+
+Goldilocks2 = BinomialExtension(Goldilocks, 2, 7)

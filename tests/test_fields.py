@@ -167,3 +167,73 @@ def test_mersenne31_mul_2exp():
         np.testing.assert_array_equal(
             F.to_ints(F.mul_2exp(a, k)), (xs.astype(object) * pow(2, k, F.order)) % F.order
         )
+
+
+# ---- Goldilocks (u32-pair arithmetic + quadratic extension) ---------------
+
+
+def test_goldilocks_vs_python_ints():
+    from plonky3_eon_tpu.fields import Goldilocks as F
+
+    p = F.order
+    rng = np.random.default_rng(0)
+    a_int = [int(x) for x in rng.integers(0, p, size=16, dtype=np.uint64)]
+    b_int = [int(x) for x in rng.integers(0, p, size=16, dtype=np.uint64)]
+    # include edge cases
+    a_int[:3] = [0, 1, p - 1]
+    b_int[:3] = [p - 1, p - 1, p - 1]
+    a = F.from_int(np.array(a_int, dtype=np.uint64))
+    b = F.from_int(np.array(b_int, dtype=np.uint64))
+    assert list(F.to_ints(F.add(a, b))) == [(x + y) % p for x, y in zip(a_int, b_int)]
+    assert list(F.to_ints(F.sub(a, b))) == [(x - y) % p for x, y in zip(a_int, b_int)]
+    assert list(F.to_ints(F.mul(a, b))) == [(x * y) % p for x, y in zip(a_int, b_int)]
+    assert list(F.to_ints(F.neg(a))) == [(-x) % p for x in a_int]
+    assert list(F.to_ints(F.halve(a))) == [x * pow(2, -1, p) % p for x in a_int]
+    nz = F.from_int(np.array([x or 1 for x in a_int], dtype=np.uint64))
+    assert list(F.to_ints(F.inv(nz))) == [pow(x or 1, -1, p) for x in a_int]
+
+
+def test_goldilocks_two_adic_generator():
+    from plonky3_eon_tpu.fields import Goldilocks as F
+
+    g = F.two_adic_generator_int(32)
+    assert pow(g, 1 << 32, F.order) == 1
+    assert pow(g, 1 << 31, F.order) != 1
+
+
+def test_goldilocks_quadratic_extension():
+    from plonky3_eon_tpu.fields import Goldilocks as F
+    from plonky3_eon_tpu.fields.extension import Goldilocks2 as EF
+
+    p = F.order
+    rng = np.random.default_rng(1)
+    a_int = rng.integers(0, p, size=(8, 2), dtype=np.uint64)
+    b_int = rng.integers(0, p, size=(8, 2), dtype=np.uint64)
+    a, b = EF.from_int(a_int), EF.from_int(b_int)
+    got = np.asarray(EF.to_ints(EF.mul(a, b)), dtype=object)
+    for i in range(8):
+        a0, a1 = int(a_int[i, 0]), int(a_int[i, 1])
+        b0, b1 = int(b_int[i, 0]), int(b_int[i, 1])
+        c0 = (a0 * b0 + 7 * a1 * b1) % p
+        c1 = (a0 * b1 + a1 * b0) % p
+        assert (int(got[i, 0]), int(got[i, 1])) == (c0, c1)
+    # inversion roundtrip
+    prod = EF.mul(a, EF.inv(a))
+    ints = np.asarray(EF.to_ints(prod), dtype=object)
+    assert all(int(ints[i, 0]) == 1 and int(ints[i, 1]) == 0 for i in range(8))
+
+
+def test_goldilocks_dft_roundtrip():
+    from plonky3_eon_tpu.fields import Goldilocks as F
+    from plonky3_eon_tpu.ops.dft import NaiveDft, Radix2Dit
+
+    rng = np.random.default_rng(2)
+    mat = F.from_int(rng.integers(0, F.order, size=(16, 3), dtype=np.uint64))
+    fast = Radix2Dit(F)
+    naive = NaiveDft(F)
+    assert np.array_equal(
+        np.asarray(F.to_ints(fast.dft_batch(mat))),
+        np.asarray(F.to_ints(naive.dft_batch(mat))),
+    )
+    back = fast.idft_batch(fast.dft_batch(mat))
+    assert np.array_equal(np.asarray(F.to_ints(back)), np.asarray(F.to_ints(mat)))
