@@ -54,7 +54,8 @@ def main():
     mmcs = MerkleTreeMmcs(hasher, compressor)
     pcs = TwoAdicFriPcs(
         F, EF, mmcs, mmcs,
-        FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16),
+        FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16,
+                  log_final_poly_len=int(os.environ.get("BENCH_LOG_FINAL_POLY", "7"))),
     )
     config = StarkConfig(
         F=F, EF=EF, pcs=pcs,

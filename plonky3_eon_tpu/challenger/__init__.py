@@ -103,7 +103,7 @@ class DuplexChallenger:
         """Find witness w (as int) with check_witness(bits, w) true, searching
         the candidate space in device-wide batches (the analogue of the
         reference's rayon parallel witness search)."""
-        batch = 4096
+        batch = 1 << 16
         F, W, R = self.F, self.width, self.rate
         # Snapshot the state the witness observation would see.
         base_state = self._state.copy()

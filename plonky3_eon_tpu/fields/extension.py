@@ -85,6 +85,21 @@ class BinomialExtension(Field):
             return self.from_base(base)
         return self.base.from_int(arr)
 
+    def from_int_np(self, x):
+        """Embed canonical ints as host numpy arrays (twiddle tables)."""
+        import numpy as np
+
+        arr = np.asarray(x, dtype=object)
+        base_np = self.base.from_int_np(arr)
+        out = np.zeros(arr.shape + self.shape_suffix, base_np.dtype)
+        out[(Ellipsis, 0) + (slice(None),) * self._bs] = base_np
+        return out
+
+    def two_adic_generator_int(self, bits: int) -> int:
+        """The two-adic subgroup lifts from the base field (DFTs over EF
+        matrices use base-field twiddles embedded in EF)."""
+        return self.base.two_adic_generator_int(bits)
+
     def to_ints(self, a):
         return self.base.to_ints(a)
 

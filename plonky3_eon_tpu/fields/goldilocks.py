@@ -54,6 +54,15 @@ def _mul32x32(a, b):
     return a * b, mulhi32(a, b)
 
 
+
+def _reduce_np(x, p: int) -> np.ndarray:
+    """Reduce host ints mod p to uint64, handling arbitrarily large Python
+    ints (object arrays appear when embedding extension-order constants)."""
+    arr = np.asarray(x)
+    if arr.dtype == object:
+        return np.asarray(arr % p, dtype=np.uint64)
+    return np.asarray(arr, dtype=np.uint64) % np.uint64(p)
+
 class GoldilocksField(Field):
     name = "Goldilocks"
     order = GOLDILOCKS_P
@@ -78,7 +87,7 @@ class GoldilocksField(Field):
     # ---- host <-> device -----------------------------------------------
 
     def from_int_np(self, x) -> np.ndarray:
-        arr = np.asarray(x, dtype=np.uint64) % np.uint64(GOLDILOCKS_P)
+        arr = _reduce_np(x, GOLDILOCKS_P)
         lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi = (arr >> np.uint64(32)).astype(np.uint32)
         return np.stack([lo, hi], axis=-1)

@@ -16,6 +16,15 @@ from .field import Field, U32, _jit_field_methods, mulhi32
 _M = (1 << 31) - 1
 
 
+
+def _reduce_np(x, p: int) -> np.ndarray:
+    """Reduce host ints mod p to uint64, handling arbitrarily large Python
+    ints (object arrays appear when embedding extension-order constants)."""
+    arr = np.asarray(x)
+    if arr.dtype == object:
+        return np.asarray(arr % p, dtype=np.uint64)
+    return np.asarray(arr, dtype=np.uint64) % np.uint64(p)
+
 class Mersenne31Field(Field):
     def __init__(self):
         self.name = "Mersenne31"
@@ -32,7 +41,7 @@ class Mersenne31Field(Field):
         return jnp.full(shape, jnp.uint32(1), U32)
 
     def from_int_np(self, x) -> np.ndarray:
-        arr = np.asarray(x, dtype=np.uint64) % np.uint64(_M)
+        arr = _reduce_np(x, _M)
         return arr.astype(np.uint32)
 
     def from_int(self, x):

@@ -20,6 +20,15 @@ import numpy as np
 from .field import Field, U32, _jit_field_methods, mulhi32
 
 
+
+def _reduce_np(x, p: int) -> np.ndarray:
+    """Reduce host ints mod p to uint64, handling arbitrarily large Python
+    ints (object arrays appear when embedding extension-order constants)."""
+    arr = np.asarray(x)
+    if arr.dtype == object:
+        return np.asarray(arr % p, dtype=np.uint64)
+    return np.asarray(arr, dtype=np.uint64) % np.uint64(p)
+
 class MontyField31(Field):
     """Generic 31-bit Montgomery field descriptor (ref: `p3-monty-31`)."""
 
@@ -48,7 +57,7 @@ class MontyField31(Field):
         return jnp.full(shape, self._one, U32)
 
     def from_int_np(self, x) -> np.ndarray:
-        arr = np.asarray(x, dtype=np.uint64) % np.uint64(self.P_int)
+        arr = _reduce_np(x, self.P_int)
         monty = (arr * np.uint64(self.R_int)) % np.uint64(self.P_int)
         return monty.astype(np.uint32)
 

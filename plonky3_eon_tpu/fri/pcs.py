@@ -46,7 +46,11 @@ class FriConfig:
     log_blowup: int = 1
     num_queries: int = 100
     proof_of_work_bits: int = 16
-    # fold down to a constant (log_final_poly_len = 0 in reference terms)
+    #: stop folding once the codeword has 2^(log_blowup + log_final_poly_len)
+    #: evaluations and transport the 2^log_final_poly_len final coefficients
+    #: instead — each skipped round saves a Merkle commit + transcript sync
+    #: (tail rounds are pure latency); proof grows by a few KB.
+    log_final_poly_len: int = 0
 
 
 @dataclass
@@ -207,7 +211,8 @@ class TwoAdicFriPcs(Pcs):
         cur = ro_by_height[log_max]
         commits, fold_data, betas = [], [], []
         log_h = log_max
-        while log_h > self.fri.log_blowup:
+        log_final = self.fri.log_blowup + self.fri.log_final_poly_len
+        while log_h > log_final:
             half = 1 << (log_h - 1)
             pairs = cur.reshape(half, 2, EF.D)
             root, mdata = self.challenge_mmcs.commit([pairs.reshape(half, 2 * EF.D)])
@@ -221,9 +226,11 @@ class TwoAdicFriPcs(Pcs):
             if log_h in ro_by_height:
                 cur = EF.add(cur, ro_by_height[log_h])
 
-        # 5. final constant + PoW + queries
-        final_poly = cur[0]
-        challenger.observe(final_poly.reshape(-1))
+        # 5. final polynomial (coeffs on the reinterpreted coset g*H) + PoW
+        final_poly = _final_poly_coeffs(
+            F, EF, cur, log_final, self.fri.log_final_poly_len
+        )
+        challenger.observe(jnp.asarray(final_poly).reshape(-1))
         pow_witness = (
             challenger.grind(self.fri.proof_of_work_bits)
             if self.fri.proof_of_work_bits > 0
@@ -293,8 +300,13 @@ class TwoAdicFriPcs(Pcs):
         ]
         if expected_indices != list(proof.query_indices):
             raise ValueError("FRI: query indices do not match transcript")
-        if len(proof.commit_phase_commits) != log_max - fri.log_blowup:
+        log_final = fri.log_blowup + fri.log_final_poly_len
+        if len(proof.commit_phase_commits) != log_max - log_final:
             raise ValueError("FRI: wrong number of fold rounds")
+        if np.asarray(proof.final_poly).reshape(-1, EF.D).shape[0] != (
+            1 << fri.log_final_poly_len
+        ):
+            raise ValueError("FRI: wrong final polynomial length")
 
         q = np.asarray(proof.query_indices, dtype=np.int64)
         nq = len(q)
@@ -396,9 +408,23 @@ class TwoAdicFriPcs(Pcs):
             if log_h in ro_by_height:
                 cur = EF.add(cur, ro_by_height[log_h])
 
-        # 3. final constant check
-        final = jnp.broadcast_to(jnp.asarray(proof.final_poly), (nq, EF.D))
-        if not np.array_equal(np.asarray(cur), np.asarray(final)):
+        # 3. final polynomial check: evaluate the transported coefficients at
+        #    each query's point on the (reinterpreted) coset g*H_final
+        coeffs = jnp.asarray(proof.final_poly).reshape(-1, EF.D)
+        idx_fin = q >> (log_max - log_final) if log_max > log_final else q
+        h_gen = F.two_adic_generator_int(log_final) if log_final > 0 else 1
+        xs_int = np.array(
+            [
+                (F.generator_int * pow(h_gen, reverse_bits_len(int(t), max(log_final, 1)), p)) % p
+                for t in idx_fin
+            ],
+            dtype=np.uint64,
+        )
+        xs = F.from_int(xs_int)  # (nq,)
+        val = jnp.zeros((nq, EF.D), coeffs.dtype)
+        for j in reversed(range(coeffs.shape[0])):  # Horner
+            val = EF.add(EF.mul_base(val, xs), jnp.broadcast_to(coeffs[j], (nq, EF.D)))
+        if not np.array_equal(np.asarray(cur), np.asarray(val)):
             raise ValueError("FRI: final polynomial mismatch")
 
     def observe_commitment(self, challenger, commitment):
@@ -406,6 +432,26 @@ class TwoAdicFriPcs(Pcs):
 
 
 # ---- jitted helpers ------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _ef_dft(EF):
+    return Radix2Dit(EF)
+
+
+def _final_poly_coeffs(F, EF, cur, log_final: int, log_len: int) -> np.ndarray:
+    """cur: (2^log_final, D) bit-reversed evals on the (reinterpreted) coset
+    g*H_final -> the 2^log_len final-polynomial coefficients (the blowup
+    guarantees the top coefficients vanish, so they are simply dropped)."""
+    n_fin = cur.shape[0]
+    if n_fin == 1:
+        return np.asarray(cur)
+    p = F.order
+    nat = jnp.take(cur, jnp.asarray(bit_reverse_indices(n_fin)), axis=0)
+    inv_s = pow(F.generator_int, p - 2, p)
+    ipows = EF.from_int(np_powers(inv_s, n_fin, p))
+    coeffs = _ef_dft(EF).coset_idft_batch(nat[:, None], ipows)[:, 0]
+    return np.asarray(coeffs[: 1 << log_len])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -18,14 +18,15 @@ from plonky3_eon_tpu.stark import StarkConfig, VerificationError, prove, verify
 F, EF = BabyBear, BabyBear4
 
 
-def make_pcs(num_queries=6, pow_bits=2):
+def make_pcs(num_queries=6, pow_bits=2, log_final_poly_len=0):
     p2 = Poseidon2(F, 16)
     hasher = PaddingFreeSponge(p2, 16, 8, 8)
     compressor = TruncatedPermutation(p2, 2, 8, 16)
     mmcs = MerkleTreeMmcs(hasher, compressor)
     return TwoAdicFriPcs(
         F, EF, mmcs, mmcs, FriConfig(log_blowup=1, num_queries=num_queries,
-                                     proof_of_work_bits=pow_bits)
+                                     proof_of_work_bits=pow_bits,
+                                     log_final_poly_len=log_final_poly_len)
     )
 
 
@@ -99,3 +100,22 @@ def test_uni_stark_over_fri_rejects_tampered_commitment():
     proof.commitments.trace = tampered
     with pytest.raises((VerificationError, ValueError)):
         verify(config, FibonacciAir(), proof, [0, 1, x])
+
+
+def test_fri_with_final_poly_len():
+    """log_final_poly_len > 0: fewer fold rounds, final coefficients
+    evaluated at query points (tail rounds are pure latency on TPU)."""
+    from plonky3_eon_tpu.models.fibonacci import FibonacciAir, generate_fibonacci_trace
+
+    air = FibonacciAir()
+    trace, x = generate_fibonacci_trace(F, 32)
+    pvs = [0, 1, x]
+    config = make_config(num_queries=4, pow_bits=1, log_final_poly_len=3)
+    proof = prove(config, air, trace, pvs)
+    verify(config, air, proof, pvs)
+    # tampered final poly rejected
+    bad = np.array(proof.opening_proof.final_poly)
+    bad[1][0] = (int(bad[1][0]) + 1) % F.order
+    proof.opening_proof.final_poly = bad
+    with pytest.raises((ValueError,)):
+        verify(config, air, proof, pvs)
