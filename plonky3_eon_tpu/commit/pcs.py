@@ -137,3 +137,114 @@ class TrivialPcs(Pcs):
     def observe_commitment(self, challenger, commitment):
         for cf in commitment:
             challenger.observe(jnp.asarray(cf).reshape(-1))
+
+
+class DummyPcs(Pcs):
+    """Commitment = the evaluation matrices themselves; openings via
+    barycentric interpolation; no cryptography. Lets engine logic be tested
+    without hashing (ref: `commit/src/dummy_pcs.rs:17,42`)."""
+
+    def __init__(self, F: Field, EF):
+        self.F = F
+        self.EF = EF
+
+    def natural_domain_for_degree(self, degree: int):
+        from ..utils import log2_strict
+
+        return TwoAdicMultiplicativeCoset(self.F, log2_strict(degree), 1)
+
+    def commit(self, domains_and_evals):
+        domains = [d for d, _ in domains_and_evals]
+        evals = [e for _, e in domains_and_evals]
+        return [np.asarray(e) for e in evals], TrivialProverData(domains, evals, None)
+
+    def get_evaluations_on_domain(self, pd, idx: int, domain):
+        from ..ops.dft import Radix2Dit, np_powers
+
+        ev = pd.evals[idx]
+        src = pd.domains[idx]
+        dft = Radix2Dit(self.F)
+        if src.shift_int == 1:
+            cf = dft.idft_batch(ev)
+        else:
+            inv_s = pow(src.shift_int, self.F.order - 2, self.F.order)
+            cf = dft.coset_idft_batch(
+                ev, self.F.from_int(np_powers(inv_s, src.size, self.F.order))
+            )
+        import jax.numpy as jnp
+
+        big_n = domain.size
+        if big_n > cf.shape[0]:
+            cf = jnp.concatenate(
+                [cf, jnp.zeros((big_n - cf.shape[0],) + cf.shape[1:], cf.dtype)], axis=0
+            )
+        return dft.coset_dft_batch(
+            cf, self.F.from_int(np_powers(domain.shift_int, big_n, self.F.order))
+        )
+
+    def open(self, rounds, challenger):
+        from ..ops.interpolation import interpolate_coset
+
+        opened = []
+        for pd, points_per_matrix in rounds:
+            rv = []
+            for (domain, ev), points in zip(
+                zip(pd.domains, pd.evals), points_per_matrix
+            ):
+                rv.append(
+                    [
+                        interpolate_coset(self.F, self.EF, ev, z, domain.shift_int)
+                        for z in points
+                    ]
+                )
+            opened.append(rv)
+        return opened, None
+
+    def verify(self, rounds, proof, challenger):
+        from ..ops.interpolation import interpolate_coset
+        import jax.numpy as jnp
+
+        for commitment, matrices in rounds:
+            for ev_np, (domain, points_and_values) in zip(commitment, matrices):
+                ev = jnp.asarray(ev_np)
+                for zeta, claimed in points_and_values:
+                    got = interpolate_coset(self.F, self.EF, ev, zeta, domain.shift_int)
+                    if not np.array_equal(np.asarray(got), np.asarray(claimed)):
+                        raise ValueError("DummyPcs: opening mismatch")
+
+    def observe_commitment(self, challenger, commitment):
+        for ev in commitment:
+            challenger.observe(jnp.asarray(ev).reshape(-1))
+
+
+class DummyMmcs:
+    """Identity commitment: stores the matrices, opens raw rows
+    (ref: `commit/src/dummy_mmcs.rs:12`)."""
+
+    def commit(self, matrices: list):
+        return [np.asarray(m) for m in matrices], list(matrices)
+
+    def open_batch(self, indices, pd):
+        import jax.numpy as jnp
+
+        idx = np.asarray(indices, dtype=np.int64)
+        from ..utils import log2_strict
+
+        max_h = max(int(m.shape[0]) for m in pd)
+        log_max = log2_strict(max_h)
+        opened = [
+            jnp.take(m, jnp.asarray(idx >> (log_max - log2_strict(int(m.shape[0])))), axis=0)
+            for m in pd
+        ]
+        return opened, None
+
+    def verify_batch(self, commitment, dims, indices, opened_values, proof) -> bool:
+        from ..utils import log2_strict
+
+        idx = np.asarray(indices, dtype=np.int64)
+        log_max = log2_strict(max(h for h, _ in dims))
+        for com, (h, _), vals in zip(commitment, dims, opened_values):
+            rows = np.asarray(com)[idx >> (log_max - log2_strict(h))]
+            if not np.array_equal(rows, np.asarray(vals)):
+                return False
+        return True
