@@ -90,8 +90,8 @@ class _WithLookups:
             self.gadget.eval_lookups(builder, self.lookups, self.lookup_data)
 
 
-def get_log_quotient_degree(air, num_public_values, lookups, lookup_data, gadget) -> int:
-    """Quotient chunk count including lookup constraint degrees
+def symbolic_degrees(air, num_public_values, lookups, lookup_data, gadget) -> list:
+    """Constraint degree multiples including lookups
     (ref: `eon-uni-stark/src/symbolic_builder.rs:32-60`)."""
     b = SymbolicAirBuilder(
         air.width,
@@ -100,8 +100,12 @@ def get_log_quotient_degree(air, num_public_values, lookups, lookup_data, gadget
         num_challenges=gadget.NUM_CHALLENGES * len(lookups),
     )
     _WithLookups(air, lookups, lookup_data, gadget).eval(b)
-    max_deg = max(b.constraint_degrees, default=2)
-    return log2_ceil(max(max_deg - 1, 1))
+    return b.constraint_degrees
+
+
+def get_log_quotient_degree(air, num_public_values, lookups, lookup_data, gadget) -> int:
+    degrees = symbolic_degrees(air, num_public_values, lookups, lookup_data, gadget)
+    return log2_ceil(max(max(degrees, default=2) - 1, 1))
 
 
 def _alloc_challenges(challenger, EF, gadget, all_lookups):
@@ -192,7 +196,9 @@ def prove_batch(config, instances, gadget=None, check_witness: bool = False):
     ) in zip(preps, all_lookups, per_chs, perm_phase):
         n = 1 << log_n
         eon_air = _WithLookups(air, lookups, lookup_data, gadget)
-        lqd = get_log_quotient_degree(air, len(pvs), lookups, lookup_data, gadget)
+        degrees = symbolic_degrees(air, len(pvs), lookups, lookup_data, gadget)
+        num_constraints = len(degrees)
+        lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
         quotient_degree = 1 << lqd
         quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
         trace_lde = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
@@ -202,6 +208,7 @@ def prove_batch(config, instances, gadget=None, check_witness: bool = False):
             eon_air, F, EF, trace_domain, quotient_domain, trace_lde, pvs,
             alpha, permutation_lde=perm_lde,
             permutation_challenges=jnp.stack(chs),
+            num_constraints=num_constraints,
         )
         q_flat = q_vals.reshape(quotient_domain.size, EF.D)
         q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, quotient_degree)
@@ -332,7 +339,9 @@ def _verify_instance(config, air, proof, public_values, lookups, perm_challenges
     n = 1 << log_n
     lookup_data = proof.lookup_data or []
 
-    lqd = get_log_quotient_degree(air, len(public_values), lookups, lookup_data, gadget)
+    degrees = symbolic_degrees(air, len(public_values), lookups, lookup_data, gadget)
+    num_constraints = len(degrees)
+    lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
     quotient_degree = 1 << lqd
     perm_width = gadget.NUM_AUX_COLS * len(lookups)
 
@@ -380,7 +389,7 @@ def _verify_instance(config, air, proof, public_values, lookups, perm_challenges
     # EF-coefficient stacks and recombine into EF elements
     sels = trace_domain.selectors_at_point_ext(EF, zeta)
     eon_air = _WithLookups(air, lookups, lookup_data, gadget)
-    folder = ConstraintFolder(F, EF, alpha, num_lanes=None)
+    folder = ConstraintFolder(F, EF, alpha, num_lanes=None, num_constraints=num_constraints)
     folder.set_main(jnp.asarray(ov.trace_local), jnp.asarray(ov.trace_next), ext=True)
     perm_local = _regroup_perm(EF, np.asarray(ov.permutation_local))
     perm_next = _regroup_perm(EF, np.asarray(ov.permutation_next))

@@ -70,7 +70,12 @@ def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1):
 
         # 3. quotient fold — row parallel (second all_to_all)
         lde_rs = jax.lax.with_sharding_constraint(lde, row_sharded)
-        folder = ConstraintFolder(F, EF, alpha, num_lanes=lde_rs.shape[0])
+        from ..air.symbolic import get_symbolic_constraints
+
+        folder = ConstraintFolder(
+            F, EF, alpha, num_lanes=lde_rs.shape[0],
+            num_constraints=len(get_symbolic_constraints(air, 0)),
+        )
         folder.set_main(lde_rs.T, jnp.roll(lde_rs, -next_step, axis=0).T, ext=False)
         folder.public_values = []
         folder.is_first_row = Expr(folder, sels.is_first_row, False)

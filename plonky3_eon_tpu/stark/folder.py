@@ -24,18 +24,27 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 from ..air.array_builder import ArrayOpsMixin
 from ..air.builder import BuilderBase
 
 
 class ConstraintFolder(ArrayOpsMixin, BuilderBase):
-    def __init__(self, F, EF, alpha, num_lanes=None):
+    def __init__(self, F, EF, alpha, num_lanes=None, num_constraints=None):
         self.F = F
         self.EF = EF
         self.alpha = alpha  # EF scalar (D,)
         #: row-lane count (prover/debug) or None (verifier's single point)
         self.num_lanes = num_lanes
-        self.alpha_pow = EF.ones(())  # running alpha^j
+        #: total constraint count (from the symbolic pass): lets ONE shared
+        #: alpha-power table serve every assert — without it each block
+        #: assert traces its own log(K) power chain, which dominates compile
+        #: time for wide AIRs (Blake3: ~170 block asserts)
+        self._num_constraints = num_constraints
+        self._pow_table = None
+        self._ofs = 0
+        self.alpha_pow = EF.ones(())  # running alpha^j (fallback path)
         self.accumulator = None  # EF array
         self._init_mats()
         self.public_values = []
@@ -46,26 +55,38 @@ class ConstraintFolder(ArrayOpsMixin, BuilderBase):
 
     # ---- alpha fold ----------------------------------------------------
 
+    def _pows(self, k):
+        """Next k consecutive alpha powers, (k, D)."""
+        EF = self.EF
+        if self._num_constraints is not None:
+            if self._pow_table is None:
+                self._pow_table = EF.powers(self.alpha, self._num_constraints)
+            pw = jax.lax.slice_in_dim(self._pow_table, self._ofs, self._ofs + k)
+            self._ofs += k
+            return pw
+        pw = EF.mul(EF.powers(self.alpha, k), self.alpha_pow)
+        self.alpha_pow = EF.mul(pw[-1], self.alpha)
+        return pw
+
     def _accumulate(self, v, ext):
         EF = self.EF
         bnd = v.ndim - self._tail_ndim(ext)
         if bnd <= 0:  # single constraint
+            apow = self._pows(1)[0]
             if ext:
-                term = EF.mul(self.alpha_pow, v)
+                term = EF.mul(apow, v)
             else:
-                # alpha_pow (D,) times base v ([N,]): coefficient-wise product
-                term = self.F.mul(self.alpha_pow, v[..., None])
-            self.alpha_pow = EF.mul(self.alpha_pow, self.alpha)
+                # alpha^j (D,) times base v ([N,]): coefficient-wise product
+                term = self.F.mul(apow, v[..., None])
         else:  # block of K constraints: one contraction with alpha powers
             k = math.prod(v.shape[:bnd])
             v = v.reshape((k,) + v.shape[bnd:])  # (K, [N,] [D])
-            pows = EF.mul(EF.powers(self.alpha, k), self.alpha_pow)  # (K, D)
+            pows = self._pows(k)
             pw = pows.reshape((k, 1, EF.D) if self.num_lanes is not None else (k, EF.D))
             if ext:
                 term = EF.sum(EF.mul(pw, v), axis=0)
             else:
                 term = EF.sum(self.F.mul(v[..., None], pw), axis=0)
-            self.alpha_pow = EF.mul(pows[-1], self.alpha)  # alpha_pow * alpha^K
         if self.accumulator is None:
             self.accumulator = term
         else:

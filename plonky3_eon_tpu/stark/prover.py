@@ -25,6 +25,7 @@ import numpy as np
 from ..air.expr import Expr, RowPair
 from ..air.symbolic import get_log_quotient_degree
 from ..utils import log2_strict
+from ..utils.tracing import span
 from .check import check_constraints
 from .folder import ConstraintFolder
 from .proof import Commitments, OpenedValues, Proof
@@ -39,7 +40,7 @@ _FOLD_CACHE: dict = {}
 
 def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public_values,
                     alpha, preprocessed_lde=None, permutation_lde=None,
-                    permutation_challenges=None):
+                    permutation_challenges=None, num_constraints=None):
     """Evaluate sum_j alpha^j C_j(x) * Z_H(x)^-1 over the quotient domain.
 
     Returns an EF matrix (N, D). Traced+compiled once per
@@ -66,7 +67,8 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
     )
 
     def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, *opt):
-        folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0])
+        folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0],
+                                  num_constraints=num_constraints)
         # lanes-trailing layout (air/array_builder.py): matrices transposed
         folder.set_main(trace_lde.T, jnp.roll(trace_lde, -next_step, axis=0).T, ext=False)
         i = 0
@@ -118,13 +120,19 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     if check_witness:  # the reference runs this in debug builds (§5.2)
         check_constraints(air, F, EF, trace, public_values)
 
-    lqd = get_log_quotient_degree(air, len(public_values))
+    from ..air.symbolic import get_symbolic_constraints
+    from ..utils import log2_ceil
+
+    degrees = get_symbolic_constraints(air, len(public_values))
+    num_constraints = len(degrees)
+    lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
     quotient_degree = 1 << lqd
 
     challenger = config.new_challenger()
     trace_domain = pcs.natural_domain_for_degree(n)
 
-    trace_com, trace_data = pcs.commit([(trace_domain, trace)])
+    with span("commit to trace data"):
+        trace_com, trace_data = pcs.commit([(trace_domain, trace)])
 
     challenger.observe_ints([log_n])
     pcs.observe_commitment(challenger, trace_com)
@@ -135,24 +143,28 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
     trace_lde = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
 
-    q_vals = quotient_values(
-        air, F, EF, trace_domain, quotient_domain, trace_lde, public_values, alpha
-    )
-    q_flat = q_vals.reshape(quotient_domain.size, EF.D)  # EF -> D base columns
+    with span("compute quotient polynomial"):
+        q_vals = quotient_values(
+            air, F, EF, trace_domain, quotient_domain, trace_lde, public_values, alpha,
+            num_constraints=num_constraints,
+        )
+        q_flat = q_vals.reshape(quotient_domain.size, EF.D)  # EF -> D base columns
 
-    q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, quotient_degree)
+    with span("commit to quotient poly chunks"):
+        q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, quotient_degree)
     pcs.observe_commitment(challenger, q_com)
 
     zeta = challenger.sample_ext(EF)
     zeta_next = trace_domain.next_point_ext(EF, zeta)
 
-    opened, opening_proof = pcs.open(
-        [
-            (trace_data, [[zeta, zeta_next]]),
-            (q_data, [[zeta]] * quotient_degree),
-        ],
-        challenger,
-    )
+    with span("open"):
+        opened, opening_proof = pcs.open(
+            [
+                (trace_data, [[zeta, zeta_next]]),
+                (q_data, [[zeta]] * quotient_degree),
+            ],
+            challenger,
+        )
     trace_local, trace_next = opened[0][0][0], opened[0][0][1]
     quotient_chunks = [opened[1][i][0] for i in range(quotient_degree)]
 

@@ -62,11 +62,12 @@ def recompose_quotient_from_chunks(EF, chunk_domains, chunk_values, zeta):
 
 def verify_constraints(air, F, EF, trace_local, trace_next, public_values,
                        trace_domain, zeta, alpha, quotient,
-                       preprocessed_local=None, preprocessed_next=None):
+                       preprocessed_local=None, preprocessed_next=None,
+                       num_constraints=None):
     """Evaluate the AIR at zeta and check folded * Z^-1 == quotient
     (ref: `verifier.rs:74-125`)."""
     sels = trace_domain.selectors_at_point_ext(EF, zeta)
-    folder = ConstraintFolder(F, EF, alpha, num_lanes=None)
+    folder = ConstraintFolder(F, EF, alpha, num_lanes=None, num_constraints=num_constraints)
     folder.set_main(jnp.asarray(trace_local), jnp.asarray(trace_next), ext=True)
     if preprocessed_local is not None:
         folder.set_preprocessed(
@@ -94,7 +95,11 @@ def verify(config, air, proof, public_values=()):
     log_n = proof.degree_bits
     n = 1 << log_n
 
-    lqd = get_log_quotient_degree(air, len(public_values))
+    from ..utils import log2_ceil
+
+    degrees = get_symbolic_constraints(air, len(public_values))
+    num_constraints = len(degrees)
+    lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
     quotient_degree = 1 << lqd
 
     # ---- shape checks (ref: verifier.rs:267-279) ----------------------
@@ -151,5 +156,5 @@ def verify(config, air, proof, public_values=()):
     quotient = recompose_quotient_from_chunks(EF, chunk_domains, ov.quotient_chunks, zeta)
     verify_constraints(
         air, F, EF, ov.trace_local, ov.trace_next, public_values,
-        trace_domain, zeta, alpha, quotient,
+        trace_domain, zeta, alpha, quotient, num_constraints=num_constraints,
     )

@@ -62,3 +62,23 @@ def test_verify_rejects_tampered_opening():
     proof.opened_values.trace_local[0, 0] ^= 1
     with pytest.raises((VerificationError, ValueError)):
         verify(config, FibonacciAir(), proof, [0, 1, x])
+
+
+def test_proof_serde_roundtrip():
+    """Serialize -> deserialize -> verify (ref: postcard/bincode round-trips
+    in `uni-stark` tests; `report_proof_size`, examples/src/proofs.rs:248)."""
+    from tests.test_fri import make_config
+
+    from plonky3_eon_tpu.stark.serde import (
+        deserialize_proof,
+        report_proof_size,
+        serialize_proof,
+    )
+
+    trace, x = generate_fibonacci_trace(BabyBear, 16)
+    config = make_config(num_queries=4, pow_bits=1, log_final_poly_len=2)
+    proof = prove(config, FibonacciAir(), trace, [0, 1, x])
+    blob = serialize_proof(proof)
+    assert report_proof_size(proof) == len(blob)
+    restored = deserialize_proof(blob)
+    verify(config, FibonacciAir(), restored, [0, 1, x])
