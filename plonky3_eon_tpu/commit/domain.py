@@ -106,6 +106,13 @@ class TwoAdicMultiplicativeCoset:
         zn = EF.exp_const(un, self.size)
         return EF.sub(zn, EF.ones(zeta.shape[:-1]))
 
+    def vanishing_at_domain_sample(self, other) -> int:
+        """Z_self(first point of `other`) as a host int — the quotient-chunk
+        recombination weights (ref: `verifier.rs:27-67` denominators)."""
+        p = self.F.order
+        x = other.first_point_int()
+        return (pow((x * pow(self.shift_int, p - 2, p)) % p, self.size, p) - 1) % p
+
     def selectors_at_point_ext(self, EF, zeta) -> Selectors:
         """Selectors at an out-of-domain EF point (ref: `domain.rs:226-247`)."""
         F = self.F

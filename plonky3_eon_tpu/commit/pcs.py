@@ -57,13 +57,29 @@ class Pcs:
         challenger.observe(commitment)
 
 
-def eval_coeffs_at_ext_point(F: Field, EF, coeffs, zeta):
+def eval_coeffs_at_ext_point(F: Field, EF, coeffs, zeta, row_chunk: int = 1 << 14):
     """Evaluate base-coefficient columns at an EF point: (n, w) x (D,) ->
-    (w, D), via EF powers of zeta + a base-scaled sum."""
+    (w, D), via EF powers of zeta + a base-scaled sum. Rows are scanned in
+    chunks so peak memory is (chunk, w, D), not (n, w, D)."""
+    import jax
+
     n, w = coeffs.shape[0], coeffs.shape[1]
     zpows = EF.powers(zeta, n)  # (n, D)
-    terms = EF.mul_base(zpows[:, None, :], coeffs)  # (n, w, D)
-    return EF.sum(terms, axis=0)
+    if n <= row_chunk:
+        terms = EF.mul_base(zpows[:, None, :], coeffs)  # (n, w, D)
+        return EF.sum(terms, axis=0)
+    assert n % row_chunk == 0
+    nc = n // row_chunk
+    cf = coeffs.reshape((nc, row_chunk) + coeffs.shape[1:])
+    zp = zpows.reshape(nc, row_chunk, EF.D)
+
+    def step(acc, xs):
+        c, z = xs
+        return EF.add(acc, EF.sum(EF.mul_base(z[:, None], c), axis=0)), None
+
+    acc0 = jnp.zeros((w, EF.D), coeffs.dtype)
+    acc, _ = jax.lax.scan(step, acc0, (cf, zp))
+    return acc
 
 
 @dataclass

@@ -439,6 +439,29 @@ def _ef_dft(EF):
     return Radix2Dit(EF)
 
 
+def _chunked_col_contraction(F, EF, mat, col_pows, chunk: int = 16):
+    """sum_c pows_c * mat[:, c] -> (N, D), scanning over column chunks."""
+    n, w = mat.shape[0], mat.shape[1]
+    pad = (-w) % chunk
+    if pad:
+        mat = jnp.concatenate([mat, jnp.zeros((n, pad), mat.dtype)], axis=1)
+        col_pows = jnp.concatenate(
+            [col_pows, jnp.zeros((pad,) + col_pows.shape[1:], col_pows.dtype)], axis=0
+        )
+    nchunks = (w + pad) // chunk
+    mat_c = jnp.moveaxis(mat.reshape(n, nchunks, chunk), 1, 0)  # (nc, N, chunk)
+    pow_c = col_pows.reshape(nchunks, chunk, EF.D)
+
+    def step(acc, xs):
+        m, pw = xs
+        term = EF.sum(F.mul(pw[None], m[..., None]), axis=1)  # (N, D)
+        return EF.add(acc, term), None
+
+    acc0 = jnp.zeros((n, EF.D), mat.dtype)
+    acc, _ = jax.lax.scan(step, acc0, (mat_c, pow_c))
+    return acc
+
+
 def _final_poly_coeffs(F, EF, cur, log_final: int, log_len: int) -> np.ndarray:
     """cur: (2^log_final, D) bit-reversed evals on the (reinterpreted) coset
     g*H_final -> the 2^log_len final-polynomial coefficients (the blowup
@@ -459,12 +482,10 @@ def _reduced_opening(F, EF, lde_nat, xs, zeta, col_pows, vals):
     """sum_c apow_c * (f_c(x) - f_c(zeta)) / (x - zeta) over the whole domain.
 
     lde_nat: (N, w) base; xs: (N,) base points; zeta: (D,); col_pows: (w, D);
-    vals: (w, D). Returns (N, D). One fused program: a single batched column
-    contraction (no per-column unrolling — the w-axis stays an array axis so
-    the compiled program size is independent of trace width) + one batched
-    EF inversion."""
-    # sum_c apow_c * f_c(x): (N, w, D) -> (N, D)
-    num = EF.sum(F.mul(col_pows[None], lde_nat[..., None]), axis=1)
+    vals: (w, D). Returns (N, D). The column contraction runs as a scan over
+    column chunks so peak memory is (N, chunk, D) instead of (N, w, D) —
+    a 164-column trace at N = 2^21 would otherwise materialize ~5.5 GB."""
+    num = _chunked_col_contraction(F, EF, lde_nat, col_pows)
     # sum_c apow_c * v_c : (w, D) -> (D,)
     vsum = EF.sum(EF.mul(col_pows, vals), axis=0)
     diff = EF.sub(num, vsum)

@@ -141,6 +141,10 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     alpha = challenger.sample_ext(EF)
 
     quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
+    # chunk count = size ratio (== quotient_degree for multiplicative
+    # cosets; can exceed it for circle domains, whose disjoint domain is
+    # always at least double so chunks keep the trace height)
+    num_chunks = quotient_domain.size // trace_domain.size
     trace_lde = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
 
     with span("compute quotient polynomial"):
@@ -151,7 +155,7 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
         q_flat = q_vals.reshape(quotient_domain.size, EF.D)  # EF -> D base columns
 
     with span("commit to quotient poly chunks"):
-        q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, quotient_degree)
+        q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, num_chunks)
     pcs.observe_commitment(challenger, q_com)
 
     zeta = challenger.sample_ext(EF)
@@ -161,12 +165,12 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
         opened, opening_proof = pcs.open(
             [
                 (trace_data, [[zeta, zeta_next]]),
-                (q_data, [[zeta]] * quotient_degree),
+                (q_data, [[zeta]] * num_chunks),
             ],
             challenger,
         )
     trace_local, trace_next = opened[0][0][0], opened[0][0][1]
-    quotient_chunks = [opened[1][i][0] for i in range(quotient_degree)]
+    quotient_chunks = [opened[1][i][0] for i in range(num_chunks)]
 
     return Proof(
         commitments=Commitments(trace=trace_com, quotient_chunks=q_com),

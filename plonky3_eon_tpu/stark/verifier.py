@@ -34,14 +34,14 @@ def recompose_quotient_from_chunks(EF, chunk_domains, chunk_values, zeta):
     z_at_zeta = [d.vanishing_poly_at_point_ext(EF, zeta) for d in chunk_domains]
     quotient = None
     for i, (domain_i, chunk) in enumerate(zip(chunk_domains, chunk_values)):
-        # denominator: prod_{j != i} Z_j(first_i) — exact host integer math
+        # denominator: prod_{j != i} Z_j(sample of D_i) — exact host math,
+        # via the domain protocol (multiplicative cosets AND circle
+        # twin-cosets implement vanishing_at_domain_sample)
         denom = 1
-        x = domain_i.first_point_int()
         for j, dj in enumerate(chunk_domains):
             if j == i:
                 continue
-            zj = (pow((x * pow(dj.shift_int, p - 2, p)) % p, dj.size, p) - 1) % p
-            denom = (denom * zj) % p
+            denom = (denom * dj.vanishing_at_domain_sample(domain_i)) % p
         denom_inv = F.from_int(pow(denom, p - 2, p))
         zps = None
         for j in range(len(chunk_domains)):
@@ -102,20 +102,21 @@ def verify(config, air, proof, public_values=()):
     lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
     quotient_degree = 1 << lqd
 
+    trace_domain = pcs.natural_domain_for_degree(n)
+    quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
+    num_chunks = quotient_domain.size // trace_domain.size
+    chunk_domains = quotient_domain.split_domains(num_chunks)
+
     # ---- shape checks (ref: verifier.rs:267-279) ----------------------
     if np.asarray(ov.trace_local).shape != (air.width, EF.D):
         raise VerificationError("bad trace_local shape")
     if np.asarray(ov.trace_next).shape != (air.width, EF.D):
         raise VerificationError("bad trace_next shape")
-    if len(ov.quotient_chunks) != quotient_degree:
+    if len(ov.quotient_chunks) != num_chunks:
         raise VerificationError("bad quotient chunk count")
     for c in ov.quotient_chunks:
         if np.asarray(c).shape != (EF.D, EF.D):
             raise VerificationError("bad quotient chunk shape")
-
-    trace_domain = pcs.natural_domain_for_degree(n)
-    quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
-    chunk_domains = quotient_domain.split_domains(quotient_degree)
 
     # ---- replay transcript -------------------------------------------
     challenger = config.new_challenger()
