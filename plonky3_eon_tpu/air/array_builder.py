@@ -129,10 +129,14 @@ class ArrayOpsMixin:
         return self.F.from_int(int(x) % self.F.order)
 
     def _const_array(self, arr):
-        """Constant block: gets a trailing unit lane axis so it right-aligns
-        against lane-carrying blocks."""
+        """Constant block: gets a unit lane axis (before any base limb
+        suffix) so it right-aligns against lane-carrying blocks."""
+        import jax.numpy as jnp
+
         v = self.F.from_int(np.asarray(arr, dtype=np.uint64))
-        return v[..., None] if self.num_lanes is not None else v
+        if self.num_lanes is not None:
+            v = jnp.expand_dims(v, axis=v.ndim - len(self.F.shape_suffix))
+        return v
 
     def _ext_const(self, v):
         import jax.numpy as jnp
@@ -171,7 +175,8 @@ class ArrayOpsMixin:
     # ---- block structure ops --------------------------------------------
 
     def _tail_ndim(self, ext: bool) -> int:
-        return (1 if self.num_lanes is not None else 0) + (1 if ext else 0)
+        sfx = len((self.EF if ext else self.F).shape_suffix)
+        return (1 if self.num_lanes is not None else 0) + sfx
 
     def _expand(self, v, ext, k):
         # leading block axes broadcast automatically (right-alignment);

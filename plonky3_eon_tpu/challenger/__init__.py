@@ -42,13 +42,17 @@ class DuplexChallenger:
         self.perm = perm
         self.width = width
         self.rate = rate
-        self._state = np.zeros(width, dtype=np.uint64)  # canonical
+        big = F.order >= (1 << 63)
+        self._dtype = object if big else np.uint64
+        self._state = np.zeros(width, dtype=self._dtype)  # canonical
+        if big:
+            self._state[:] = 0
         self._input: list = []  # pending canonical Python ints
         self._output: list = []  # canonical ints, pop from end
 
     def _duplex(self):
         if self._input:
-            self._state[: len(self._input)] = np.asarray(self._input, dtype=np.uint64)
+            self._state[: len(self._input)] = np.asarray(self._input, dtype=self._dtype)
             self._input = []
         self._state = self.perm.permute_host(self._state)
         self._output = [int(x) for x in self._state[: self.rate]]
@@ -67,7 +71,8 @@ class DuplexChallenger:
 
     def observe_ints(self, ints):
         self._output = []
-        for e in np.asarray(ints, dtype=np.uint64).reshape(-1):
+        arr = np.asarray(ints, dtype=self._dtype)
+        for e in arr.reshape(-1):
             self._input.append(int(e) % self.F.order)
             if len(self._input) == self.rate:
                 self._duplex()
@@ -94,7 +99,7 @@ class DuplexChallenger:
         """Sample an extension element as D base coefficients
         (ref: `FieldChallenger::sample_algebra_element`)."""
         return EF.from_int(
-            np.asarray([self.sample_int() for _ in range(EF.D)], dtype=np.uint64)
+            np.asarray([self.sample_int() for _ in range(EF.D)], dtype=self._dtype)
         )
 
     # ---- proof-of-work grind (ref: grinding_challenger.rs) -------------
@@ -110,7 +115,7 @@ class DuplexChallenger:
         pending = list(self._input)
         start = 0
         while True:
-            cands = np.arange(start, start + batch, dtype=np.uint64) % F.order
+            cands = np.arange(start, start + batch, dtype=np.uint64).astype(self._dtype) % F.order
             states = np.broadcast_to(base_state, (batch, W)).copy()
             if pending:
                 states[:, : len(pending)] = np.asarray(pending, dtype=np.uint64)[None, :]

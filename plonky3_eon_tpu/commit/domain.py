@@ -55,13 +55,16 @@ class TwoAdicMultiplicativeCoset:
 
     def next_point_ext(self, EF, zeta):
         """zeta * h (the 'next row' point used for transition openings)."""
+        bshape = zeta.shape[: zeta.ndim - len(EF.shape_suffix)]
         g = self.F.from_int(self.gen_int)
-        return EF.mul_base(zeta, jnp.broadcast_to(g, zeta.shape[:-1]))
+        return EF.mul_base(zeta, jnp.broadcast_to(g, bshape + self.F.shape_suffix))
 
     def points_ints(self) -> np.ndarray:
         from ..ops.dft import np_powers
 
         pw = np_powers(self.gen_int, self.size, self.F.order)
+        if pw.dtype == object:
+            return (pw * self.shift_int) % self.F.order
         return (pw * np.uint64(self.shift_int)) % np.uint64(self.F.order)
 
     def points(self):
@@ -101,10 +104,11 @@ class TwoAdicMultiplicativeCoset:
     def vanishing_poly_at_point_ext(self, EF, zeta):
         """Z(zeta) = (zeta/s)^n - 1, zeta an EF element array (..., D)."""
         F = self.F
+        bshape = zeta.shape[: zeta.ndim - len(EF.shape_suffix)]
         s_inv = F.from_int(pow(self.shift_int, F.order - 2, F.order))
-        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, zeta.shape[:-1]))
+        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, bshape + F.shape_suffix))
         zn = EF.exp_const(un, self.size)
-        return EF.sub(zn, EF.ones(zeta.shape[:-1]))
+        return EF.sub(zn, EF.ones(bshape))
 
     def vanishing_at_domain_sample(self, other) -> int:
         """Z_self(first point of `other`) as a host int — the quotient-chunk
@@ -117,12 +121,14 @@ class TwoAdicMultiplicativeCoset:
         """Selectors at an out-of-domain EF point (ref: `domain.rs:226-247`)."""
         F = self.F
         p = F.order
+        bshape = zeta.shape[: zeta.ndim - len(EF.shape_suffix)]
+        fshape = bshape + F.shape_suffix
         s_inv = F.from_int(pow(self.shift_int, p - 2, p))
         h_inv = F.from_int(pow(self.gen_int, p - 2, p))
-        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, zeta.shape[:-1]))
-        z = EF.sub(EF.exp_const(un, self.size), EF.ones(zeta.shape[:-1]))
-        d_first = EF.sub(un, EF.ones(zeta.shape[:-1]))
-        d_last = EF.sub(un, EF.from_base(jnp.broadcast_to(h_inv, zeta.shape[:-1])))
+        un = EF.mul_base(zeta, jnp.broadcast_to(s_inv, fshape))
+        z = EF.sub(EF.exp_const(un, self.size), EF.ones(bshape))
+        d_first = EF.sub(un, EF.ones(bshape))
+        d_last = EF.sub(un, EF.from_base(jnp.broadcast_to(h_inv, fshape)))
         return Selectors(
             is_first_row=EF.mul(z, EF.inv(d_first)),
             is_last_row=EF.mul(z, EF.inv(d_last)),
@@ -138,13 +144,18 @@ class TwoAdicMultiplicativeCoset:
         n = self.size
         s_inv = pow(self.shift_int, p - 2, p)
         h_inv = pow(self.gen_int, p - 2, p)
-        # X/s over the coset, host numpy u64 modmul (values < 2^31: safe).
-        un = ((coset.points_ints() * np.uint64(s_inv)) % np.uint64(p)).astype(np.uint64)
+        # X/s over the coset: host modmul (u64 for 31-bit fields, exact
+        # Python ints for >2^63 moduli)
+        pts = coset.points_ints()
+        if pts.dtype == object or p >= (1 << 63):
+            un = (pts.astype(object) * s_inv) % p
+        else:
+            un = ((pts * np.uint64(s_inv)) % np.uint64(p)).astype(np.uint64)
         un_dev = F.from_int(un)
+        bshape = un_dev.shape[: un_dev.ndim - len(F.shape_suffix)]
         # Z = un^n - 1 computed on device (log n squarings over the array)
-        z = F.sub(F.exp_const(un_dev, n), F.ones(un_dev.shape))
-        one = F.ones(un_dev.shape)
-        d_first = F.sub(un_dev, one)
+        z = F.sub(F.exp_const(un_dev, n), F.ones(bshape))
+        d_first = F.sub(un_dev, F.ones(bshape))
         d_last = F.sub(un_dev, jnp.broadcast_to(F.from_int(h_inv), un_dev.shape))
         # single fused batched inversion of [Z, d_first, d_last]
         stacked = jnp.stack([z, d_first, d_last], axis=0)

@@ -64,7 +64,7 @@ def deterministic_constants(F: Field, tag: str, n: int) -> np.ndarray:
     """n field elements from a SHA-256(tag || counter) stream, rejection
     sampled below p. Reproducible parameter generation (no RNG state)."""
     p = F.order
-    out = np.zeros(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=object if p >= (1 << 63) else np.uint64)
     i = 0
     ctr = 0
     nbytes = (p.bit_length() + 7) // 8
@@ -81,12 +81,13 @@ def deterministic_constants(F: Field, tag: str, n: int) -> np.ndarray:
 
 
 class _HostModOps:
-    """Minimal host-side mod-p ops (uint64 numpy) matching the Field
-    methods used by the linear layers — lets `external_linear_layer` run on
-    canonical host values for the transcript path."""
+    """Minimal host-side mod-p ops (uint64 numpy, or exact Python ints in
+    object arrays for >2^32 fields) matching the Field methods used by the
+    linear layers — lets `external_linear_layer` run on canonical host
+    values for the transcript path."""
 
-    def __init__(self, p: int):
-        self.p = np.uint64(p)
+    def __init__(self, p: int, big: bool = False):
+        self.p = p if big else np.uint64(p)
 
     def add(self, a, b):
         return (a + b) % self.p
@@ -189,9 +190,10 @@ class Poseidon2:
         if internal_diag is None:
             internal_diag = deterministic_constants(F, "diag", width)
         # canonical int copies (AIR constraint generation) + device constants
-        self.ext_consts_int = np.asarray(external_constants, dtype=np.uint64)
-        self.int_consts_int = np.asarray(internal_constants, dtype=np.uint64)
-        self.diag_int = np.asarray(internal_diag, dtype=np.uint64)
+        cdtype = object if F.order >= (1 << 63) else np.uint64
+        self.ext_consts_int = np.asarray(external_constants, dtype=cdtype)
+        self.int_consts_int = np.asarray(internal_constants, dtype=cdtype)
+        self.diag_int = np.asarray(internal_diag, dtype=cdtype)
         self.ext_consts_np = F.from_int_np(self.ext_consts_int)
         self.int_consts_np = F.from_int_np(self.int_consts_int)
         self.diag_np = F.from_int_np(self.diag_int)
@@ -248,12 +250,15 @@ class Poseidon2:
         in uint64, so everything is branchless numpy modular arithmetic.
         """
         p = self.F.order
-        if p >= 1 << 32:
-            raise NotImplementedError("host permute supports 31/32-bit fields")
-        ops = _HostModOps(p)
         w = self.width
         half_f = self.rounds_f // 2
-        st = [np.asarray(state[..., i], dtype=np.uint64) % np.uint64(p) for i in range(w)]
+        if p >= 1 << 32:
+            # big fields (BN254): exact Python-int arithmetic in object arrays
+            ops = _HostModOps(p, big=True)
+            st = [np.asarray(state[..., i], dtype=object) % p for i in range(w)]
+        else:
+            ops = _HostModOps(p)
+            st = [np.asarray(state[..., i], dtype=np.uint64) % np.uint64(p) for i in range(w)]
 
         def sbox(x):
             # square-and-multiply on the fixed exponent d
@@ -268,17 +273,19 @@ class Poseidon2:
                     base = ops.mul(base, base)
             return acc
 
+        lift = (lambda v: int(v)) if p >= 1 << 32 else np.uint64
+
         def ext_round(st, rc):
-            st = [sbox(ops.add(x, np.uint64(rc[i]))) for i, x in enumerate(st)]
+            st = [sbox(ops.add(x, lift(rc[i]))) for i, x in enumerate(st)]
             return external_linear_layer(ops, st, self.hl_mat4)
 
         def int_round(st, rc):
             st = list(st)
-            st[0] = sbox(ops.add(st[0], np.uint64(rc)))
+            st[0] = sbox(ops.add(st[0], lift(rc)))
             s = st[0]
             for x in st[1:]:
                 s = ops.add(s, x)
-            return [ops.add(ops.mul(x, np.uint64(self.diag_int[i])), s) for i, x in enumerate(st)]
+            return [ops.add(ops.mul(x, lift(self.diag_int[i])), s) for i, x in enumerate(st)]
 
         st = external_linear_layer(ops, st, self.hl_mat4)
         for r in range(half_f):

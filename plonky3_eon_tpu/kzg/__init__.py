@@ -305,3 +305,84 @@ class KzgMmcs:
                 pairs.append((lhs, self.srs.g2_gen))
                 pairs.append((neg_w, g2_shift))
         return hostc.multi_pairing(pairs) == hostc.F12_ONE
+
+
+# ---- engine-facing adapter (the kzg-example STARK config) ------------------
+
+
+class KzgStarkPcs(KzgPcs):
+    """KzgPcs speaking the uni-stark engine's Pcs protocol
+    (ref: `uni-stark/tests/fib_air.rs:105-110`: type Val = Fr;
+    type Pcs = KzgPcs — the live BN254 proof pipeline). The challenge field
+    is Fr itself (EF = the D=1 identity extension)."""
+
+    def commit_quotient(self, quotient_domain, quotient_flat, num_chunks: int):
+        chunks = quotient_domain.split_evals(num_chunks, quotient_flat)
+        domains = quotient_domain.split_domains(num_chunks)
+        return self.commit(list(zip(domains, chunks)))
+
+    def get_evaluations_on_domain(self, pd: KzgProverData, idx: int, domain):
+        cf = pd.coeffs[idx]
+        big_n = domain.size
+        pad = big_n - cf.shape[0]
+        if pad:
+            cf = jnp.concatenate(
+                [cf, jnp.zeros((pad,) + cf.shape[1:], cf.dtype)], axis=0
+            )
+        spows = Fr.from_int(np_powers(domain.shift_int, big_n, Fr.order))
+        dft = self.dft
+        return dft.coset_dft_batch(cf, spows)
+
+    def open(self, rounds, challenger=None):
+        """Engine zeta values are (1, 16) identity-extension elements."""
+        flat_rounds = [
+            (pd, [[jnp.asarray(z).reshape(-1) for z in pts] for pts in ppm])
+            for pd, ppm in rounds
+        ]
+        opened, wits = KzgPcs.open(self, flat_rounds)
+        # (w, 16) -> (w, 1, 16) identity-extension shape
+        shaped = [
+            [[np.asarray(v).reshape(v.shape[0], 1, NUM_DIGITS) for v in mats]
+             for mats in rv]
+            for rv in opened
+        ]
+        return shaped, wits
+
+    def verify(self, rounds, proof, challenger=None):
+        flat = []
+        for commitment, matrices in rounds:
+            mats = []
+            for (domain, points_and_values) in matrices:
+                pvs = [
+                    (jnp.asarray(z).reshape(-1), jnp.asarray(c).reshape(-1, NUM_DIGITS))
+                    for z, c in points_and_values
+                ]
+                mats.append(pvs)
+            flat.append((commitment, mats))
+        return KzgPcs.verify(self, flat, proof)
+
+    def observe_commitment(self, challenger, commitment):
+        """Bind G1 points into the Fr transcript by 127-bit halves
+        (ref: `CanObserve<KzgCommitment>`, kzg/src/pcs.rs:409-438)."""
+        ints = []
+        mask = (1 << 127) - 1
+        for cols in commitment:
+            for pt in cols:
+                if pt is None:
+                    ints += [0, 0, 0, 0]
+                else:
+                    x, y = int(pt[0]), int(pt[1])
+                    ints += [x & mask, x >> 127, y & mask, y >> 127]
+        challenger.observe_ints(ints)
+
+
+def poseidon2_bn254(width: int = 3):
+    """Width-3 Poseidon2 over Fr (ref: `bn254/src/poseidon2.rs:26`
+    Poseidon2Bn254; internal matrix 1 + Diag(1,1,2) `:55-63`). Deterministic
+    constants; rf=8, rp=56 per the HorizenLabs BN254 instance sizing."""
+    from ..hashes import Poseidon2
+
+    return Poseidon2(
+        Fr, width, d=5, rounds_f=8, rounds_p=56,
+        internal_diag=np.asarray([1, 1, 2][:width], dtype=object),
+    )

@@ -27,13 +27,15 @@ class DebugConstraintBuilder(ArrayOpsMixin, BuilderBase):
         n = trace.shape[0]
         self.num_lanes = n
         self._init_mats()
-        self.set_main(trace.T, jnp.roll(trace, -1, axis=0).T, ext=False)
+        # moveaxis, not .T: base fields may carry a limb suffix
+        tr = lambda m: jnp.moveaxis(m, 1, 0)
+        self.set_main(tr(trace), tr(jnp.roll(trace, -1, axis=0)), ext=False)
         if preprocessed is not None:
             self.set_preprocessed(
-                preprocessed.T, jnp.roll(preprocessed, -1, axis=0).T, ext=False
+                tr(preprocessed), tr(jnp.roll(preprocessed, -1, axis=0)), ext=False
             )
         if permutation is not None:  # (N, W*D) flattened base columns
-            self.set_permutation(permutation.T, jnp.roll(permutation, -1, axis=0).T)
+            self.set_permutation(tr(permutation), tr(jnp.roll(permutation, -1, axis=0)))
         self.permutation_challenges = [Expr(self, c, True) for c in permutation_challenges]
         self.public_values = [
             Expr(self, F.from_int(int(pv)), False) for pv in np.asarray(public_values).reshape(-1)

@@ -76,17 +76,18 @@ class ConstraintFolder(ArrayOpsMixin, BuilderBase):
             if ext:
                 term = EF.mul(apow, v)
             else:
-                # alpha^j (D,) times base v ([N,]): coefficient-wise product
-                term = self.F.mul(apow, v[..., None])
+                # alpha^j (EF) times a base lane value: the Algebra op
+                term = EF.mul_base(apow, v)
         else:  # block of K constraints: one contraction with alpha powers
             k = math.prod(v.shape[:bnd])
-            v = v.reshape((k,) + v.shape[bnd:])  # (K, [N,] [D])
-            pows = self._pows(k)
-            pw = pows.reshape((k, 1, EF.D) if self.num_lanes is not None else (k, EF.D))
+            v = v.reshape((k,) + v.shape[bnd:])  # (K, [N,]) + field suffix
+            pows = self._pows(k)  # (K,) + EF suffix
+            if self.num_lanes is not None:
+                pows = pows.reshape(pows.shape[:1] + (1,) + pows.shape[1:])
             if ext:
-                term = EF.sum(EF.mul(pw, v), axis=0)
+                term = EF.sum(EF.mul(pows, v), axis=0)
             else:
-                term = EF.sum(self.F.mul(v[..., None], pw), axis=0)
+                term = EF.sum(EF.mul_base(pows, v), axis=0)
         if self.accumulator is None:
             self.accumulator = term
         else:

@@ -70,18 +70,20 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
         folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0],
                                   num_constraints=num_constraints)
         # lanes-trailing layout (air/array_builder.py): matrices transposed
-        folder.set_main(trace_lde.T, jnp.roll(trace_lde, -next_step, axis=0).T, ext=False)
+        # (moveaxis, not .T: base fields may carry a limb suffix)
+        tr = lambda m: jnp.moveaxis(m, 1, 0)
+        folder.set_main(tr(trace_lde), tr(jnp.roll(trace_lde, -next_step, axis=0)), ext=False)
         i = 0
         if has_prep:
             prep = opt[i]
             i += 1
             folder.set_preprocessed(
-                prep.T, jnp.roll(prep, -next_step, axis=0).T, ext=False
+                tr(prep), tr(jnp.roll(prep, -next_step, axis=0)), ext=False
             )
         if has_perm:
             perm, chs = opt[i], opt[i + 1]
             i += 2
-            folder.set_permutation(perm.T, jnp.roll(perm, -next_step, axis=0).T)
+            folder.set_permutation(tr(perm), tr(jnp.roll(perm, -next_step, axis=0)))
             folder.permutation_challenges = [
                 Expr(folder, chs[j], True) for j in range(chs.shape[0])
             ]
@@ -115,7 +117,10 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     F, EF, pcs = config.F, config.EF, config.pcs
     n = int(trace.shape[0])
     log_n = log2_strict(n)
-    public_values = np.asarray(public_values, dtype=np.uint64).reshape(-1)
+    public_values = np.asarray(
+        [int(v) for v in np.asarray(public_values, dtype=object).reshape(-1)],
+        dtype=object,
+    )
 
     if check_witness:  # the reference runs this in debug builds (§5.2)
         check_constraints(air, F, EF, trace, public_values)
@@ -152,7 +157,8 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
             air, F, EF, trace_domain, quotient_domain, trace_lde, public_values, alpha,
             num_constraints=num_constraints,
         )
-        q_flat = q_vals.reshape(quotient_domain.size, EF.D)  # EF -> D base columns
+        # EF -> D base columns (keeping any base limb suffix)
+    q_flat = q_vals.reshape((quotient_domain.size, EF.D) + F.shape_suffix)
 
     with span("commit to quotient poly chunks"):
         q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, num_chunks)

@@ -90,7 +90,10 @@ def verify_constraints(air, F, EF, trace_local, trace_next, public_values,
 def verify(config, air, proof, public_values=()):
     """Verify a uni-stark proof (ref: `verifier.rs:193` `verify`)."""
     F, EF, pcs = config.F, config.EF, config.pcs
-    public_values = np.asarray(public_values, dtype=np.uint64).reshape(-1)
+    public_values = np.asarray(
+        [int(v) for v in np.asarray(public_values, dtype=object).reshape(-1)],
+        dtype=object,
+    )
     ov = proof.opened_values
     log_n = proof.degree_bits
     n = 1 << log_n
@@ -108,14 +111,15 @@ def verify(config, air, proof, public_values=()):
     chunk_domains = quotient_domain.split_domains(num_chunks)
 
     # ---- shape checks (ref: verifier.rs:267-279) ----------------------
-    if np.asarray(ov.trace_local).shape != (air.width, EF.D):
+    row_shape = (air.width, EF.D) + F.shape_suffix
+    if np.asarray(ov.trace_local).shape != row_shape:
         raise VerificationError("bad trace_local shape")
-    if np.asarray(ov.trace_next).shape != (air.width, EF.D):
+    if np.asarray(ov.trace_next).shape != row_shape:
         raise VerificationError("bad trace_next shape")
     if len(ov.quotient_chunks) != num_chunks:
         raise VerificationError("bad quotient chunk count")
     for c in ov.quotient_chunks:
-        if np.asarray(c).shape != (EF.D, EF.D):
+        if np.asarray(c).shape != (EF.D, EF.D) + F.shape_suffix:
             raise VerificationError("bad quotient chunk shape")
 
     # ---- replay transcript -------------------------------------------

@@ -110,3 +110,38 @@ def test_kzg_mmcs_roundtrip(pcs):
 
 
 import jax.numpy as jnp  # noqa: E402
+
+
+def test_bn254_kzg_uni_stark_fibonacci():
+    """kzg-example parity: full uni-stark prove+verify over BN254 Fr with
+    the KZG PCS (ref: `kzg-example/src/{fibonacci_air,proof}.rs`,
+    `uni-stark/tests/fib_air.rs:105-155`)."""
+    from plonky3_eon_tpu.challenger import DuplexChallenger
+    from plonky3_eon_tpu.fields.extension import BinomialExtension
+    from plonky3_eon_tpu.kzg import KzgStarkPcs, make_test_srs, poseidon2_bn254
+    from plonky3_eon_tpu.models.fibonacci import FibonacciAir
+    from plonky3_eon_tpu.stark import StarkConfig, VerificationError, prove, verify
+
+    Fr1 = BinomialExtension(Fr, 1, 1, name="Bn254Fr^1")
+    n = 16
+    # fibonacci trace over Fr (host big ints)
+    a, b = 0, 1
+    rows = np.empty((n, 2), dtype=object)
+    for i in range(n):
+        rows[i] = [a, b]
+        a, b = b, (a + b) % Fr.order
+    trace = Fr.from_int(rows)
+    x_last = int(rows[-1][1])
+
+    p2 = poseidon2_bn254(3)
+    pcs = KzgStarkPcs(make_test_srs(64))
+    config = StarkConfig(
+        F=Fr, EF=Fr1, pcs=pcs,
+        challenger_factory=lambda: DuplexChallenger(Fr, p2, 3, 2),
+    )
+    air = FibonacciAir()
+    pvs = [0, 1, x_last]
+    proof = prove(config, air, trace, pvs, check_witness=True)
+    verify(config, air, proof, pvs)
+    with pytest.raises((VerificationError, Exception)):
+        verify(config, air, proof, [0, 1, (x_last + 1) % Fr.order])
