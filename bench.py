@@ -42,8 +42,8 @@ def main():
     from plonky3_eon_tpu.models.poseidon2_air import Poseidon2Air
     from plonky3_eon_tpu.stark import StarkConfig, prove, verify
 
-    log_n = int(os.environ.get("BENCH_LOG_N", "13"))
-    field_name = os.environ.get("BENCH_FIELD", "BabyBear")
+    log_n = int(os.environ.get("BENCH_LOG_N", "20"))
+    field_name = os.environ.get("BENCH_FIELD", "KoalaBear")
     F, EF = (BabyBear, BabyBear4) if field_name == "BabyBear" else (KoalaBear, KoalaBear4)
 
     n = 1 << log_n

@@ -220,3 +220,101 @@ class SerializingChallenger32:
     def check_witness(self, bits: int, witness_int: int) -> bool:
         self.observe_ints([witness_int])
         return self.sample_bits(bits) == 0
+
+
+def reduce_32(F_small, F_big, elems) -> int:
+    """Pack canonical 32-bit field elements into one big-field element:
+    sum_i e_i * 2^(32 i) mod p_big (ref: `field/src/helpers.rs` reduce_32,
+    used by MultiField32Challenger)."""
+    acc = 0
+    for i, e in enumerate(np.asarray(elems, dtype=np.uint64).reshape(-1)):
+        acc += int(e) << (32 * i)
+    return acc % F_big.order
+
+
+def split_32(F_big, F_small, value: int, n: int) -> list:
+    """Split a big-field element into n small-field elements (64-bit chunks
+    reduced mod p_small; ref: `field/src/helpers.rs` split_32)."""
+    out = []
+    v = int(value)
+    for _ in range(n):
+        out.append((v & ((1 << 64) - 1)) % F_small.order)
+        v >>= 64
+    return out
+
+
+class MultiField32Challenger:
+    """Observe 31/32-bit field elements into a big-field (BN254) sponge and
+    squeeze them back out (ref: `challenger/src/multi_field_challenger.rs:15`,
+    used by the BN254 Merkle stacks over small-field traces).
+
+    num_f_elms small elements pack into each big-field rate slot via
+    reduce_32; sampling splits each squeezed big element via split_32.
+    """
+
+    def __init__(self, F_small, F_big, perm, width: int, rate: int = None):
+        self.Fs = F_small
+        self.Fb = F_big
+        self.perm = perm
+        self.width = width
+        self.rate = rate if rate is not None else width - 1
+        self.num_f_elms = F_big.order.bit_length() // 64  # 64-bit margin
+        self._state = np.zeros(width, dtype=object)
+        self._state[:] = 0
+        self._input: list = []  # pending small-field canonical ints
+        self._output: list = []
+
+    def _duplex(self):
+        if self._input:
+            for slot in range(self.rate):
+                chunk = self._input[slot * self.num_f_elms : (slot + 1) * self.num_f_elms]
+                if chunk:
+                    self._state[slot] = reduce_32(self.Fs, self.Fb, chunk)
+            self._input = []
+        self._state = self.perm.permute_host(self._state)
+        self._output = []
+        for slot in range(self.rate):
+            self._output += split_32(self.Fb, self.Fs, int(self._state[slot]), self.num_f_elms)
+
+    def observe(self, value):
+        ints = np.atleast_1d(self.Fs.to_ints(value)).reshape(-1)
+        self.observe_ints(ints)
+
+    def observe_ints(self, ints):
+        self._output = []
+        cap = self.rate * self.num_f_elms
+        for e in np.asarray(ints, dtype=np.uint64).reshape(-1):
+            self._input.append(int(e) % self.Fs.order)
+            if len(self._input) == cap:
+                self._duplex()
+
+    def sample_int(self) -> int:
+        if self._input or not self._output:
+            self._duplex()
+        return self._output.pop()
+
+    def sample(self):
+        return self.Fs.from_int(self.sample_int())
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample_int() & ((1 << bits) - 1)
+
+    def sample_ext(self, EF):
+        return EF.from_int(
+            np.asarray([self.sample_int() for _ in range(EF.D)], dtype=np.uint64)
+        )
+
+    def grind(self, bits: int) -> int:
+        """Host witness search (BN254 sponge; rarely hot)."""
+        w = 0
+        while True:
+            save = (self._state.copy(), list(self._input), list(self._output))
+            self.observe_ints([w])
+            if self.sample_bits(bits) == 0:
+                return w
+            self._state, self._input, self._output = save
+            w += 1
+
+    def check_witness(self, bits: int, witness_int: int) -> bool:
+        self.observe_ints([witness_int])
+        return self.sample_bits(bits) == 0

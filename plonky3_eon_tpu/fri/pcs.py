@@ -39,6 +39,7 @@ from ..commit.domain import TwoAdicMultiplicativeCoset
 from ..commit.pcs import Pcs, eval_coeffs_at_ext_point
 from ..ops.dft import Radix2Dit, np_powers
 from ..utils import bit_reverse_indices, log2_strict, reverse_bits_len
+from ..utils.tracing import span
 
 
 @dataclass
@@ -149,6 +150,7 @@ class TwoAdicFriPcs(Pcs):
 
         # 1. compute all claimed evaluations via stored coefficients
         opened = []
+        sp = span("fri: claimed evals"); sp.__enter__()
         for pd, points_per_matrix in rounds:
             round_vals = []
             for cf, points in zip(pd.coeffs, points_per_matrix):
@@ -163,10 +165,12 @@ class TwoAdicFriPcs(Pcs):
                 for v in mats:
                     challenger.observe(v.reshape(-1))
         alpha = challenger.sample_ext(EF)
+        sp.__exit__(None, None, None)
 
         # 3. reduced openings per LDE height (natural order), alpha powers
         #    assigned per (round, matrix, point, column) in order
         ro_by_height: dict = {}
+        sp = span("fri: reduced openings"); sp.__enter__()
         alpha_pow = EF.ones(())
         for (pd, points_per_matrix), round_vals in zip(rounds, opened):
             for m_idx, (cf, points) in enumerate(zip(pd.coeffs, points_per_matrix)):
@@ -206,6 +210,10 @@ class TwoAdicFriPcs(Pcs):
                     )
 
         # 4. FRI fold phase
+        for v in ro_by_height.values():
+            v.block_until_ready()
+        sp.__exit__(None, None, None)
+        sp = span("fri: fold phase"); sp.__enter__()
         heights = sorted(ro_by_height, reverse=True)
         log_max = heights[0]
         cur = ro_by_height[log_max]
@@ -226,6 +234,8 @@ class TwoAdicFriPcs(Pcs):
             if log_h in ro_by_height:
                 cur = EF.add(cur, ro_by_height[log_h])
 
+        sp.__exit__(None, None, None)
+        sp = span("fri: final+grind"); sp.__enter__()
         # 5. final polynomial (coeffs on the reinterpreted coset g*H) + PoW
         final_poly = _final_poly_coeffs(
             F, EF, cur, log_final, self.fri.log_final_poly_len
@@ -240,6 +250,8 @@ class TwoAdicFriPcs(Pcs):
             challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
         ]
 
+        sp.__exit__(None, None, None)
+        sp = span("fri: query openings"); sp.__enter__()
         # 6. query openings (vectorized across queries)
         q = np.asarray(query_indices, dtype=np.int64)
         input_openings = []
@@ -258,6 +270,7 @@ class TwoAdicFriPcs(Pcs):
             commit_phase_openings.append((np.asarray(rows[0]), np.asarray(proof)))
             lh -= 1
 
+        sp.__exit__(None, None, None)
         fri_proof = FriProof(
             commit_phase_commits=commits,
             query_proof=FriQueryProof(input_openings, commit_phase_openings),

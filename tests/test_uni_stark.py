@@ -82,3 +82,55 @@ def test_proof_serde_roundtrip():
     assert report_proof_size(proof) == len(blob)
     restored = deserialize_proof(blob)
     verify(config, FibonacciAir(), restored, [0, 1, x])
+
+
+def test_preprocessed_trace_roundtrip():
+    """setup_preprocessed once, prove/verify with a preprocessed selector
+    column (ref: `uni-stark/src/preprocessed.rs:12-47`)."""
+    import jax.numpy as jnp
+
+    from tests.test_fri import make_config
+
+    from plonky3_eon_tpu.air import BaseAir
+    from plonky3_eon_tpu.stark.preprocessed import (
+        prove_with_preprocessed,
+        setup_preprocessed,
+        verify_with_preprocessed,
+    )
+
+    F = BabyBear
+    n = 16
+
+    class MaskedAir(BaseAir):
+        """main[0] must be zero wherever the preprocessed mask is 1."""
+
+        width = 1
+
+        def preprocessed_trace(self):
+            mask = np.zeros(n, dtype=np.uint64)
+            mask[::2] = 1
+            return F.from_int(mask.reshape(n, 1))
+
+        def eval(self, b):
+            b.assert_zero(b.preprocessed.local[0] * b.main.local[0])
+
+    air = MaskedAir()
+    vals = np.arange(n, dtype=np.uint64)
+    vals[::2] = 0  # satisfy the mask
+    trace = F.from_int(vals.reshape(n, 1))
+    config = make_config(num_queries=4, pow_bits=1)
+    pd, vk = setup_preprocessed(config, air)
+    proof = prove_with_preprocessed(config, air, trace, [], pd, check_witness=True)
+    verify_with_preprocessed(config, air, proof, [], vk)
+
+    # violating the mask must fail the debug checker
+    bad = F.from_int(np.arange(1, n + 1, dtype=np.uint64).reshape(n, 1))
+    with pytest.raises(AssertionError):
+        prove_with_preprocessed(config, air, bad, [], pd, check_witness=True)
+
+    # tampered preprocessed opening must fail PCS verification
+    t = np.array(proof.opened_values.preprocessed_local)
+    t[0, 0] = (int(t[0, 0]) + 1) % F.order
+    proof.opened_values.preprocessed_local = t
+    with pytest.raises((VerificationError, ValueError)):
+        verify_with_preprocessed(config, air, proof, [], vk)
