@@ -55,7 +55,7 @@ def main():
     import jax
 
     jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla_cli")
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla")
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -90,7 +90,7 @@ class MerkleTreeMmcs:
           opened_values: per matrix, (q, width...) rows at scaled indices;
           proof: (q, depth, 8) sibling digests, leaf level first.
         """
-        idx = np.asarray(indices, dtype=np.int64)
+        idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
         max_h = max(pd.heights)
         log_max = log2_strict(max_h)
         opened = []
@@ -117,7 +117,7 @@ class MerkleTreeMmcs:
 
         dims: list of (height, width) in commit order.
         """
-        idx = np.asarray(indices, dtype=np.int64)
+        idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
         q = len(idx)
         heights = [d[0] for d in dims]
         max_h = max(heights)

@@ -105,13 +105,11 @@ class TwoAdicFriPcs(Pcs):
             coeffs = self.dft.idft_batch(evals)
         else:
             inv_s = pow(domain.shift_int, p - 2, p)
-            ipows = F.from_int(np_powers(inv_s, n, p))
-            coeffs = self.dft.coset_idft_batch(evals, ipows)
+            coeffs = self.dft.coset_idft_batch(evals, _pow_dev(F, inv_s, n))
         pad = jnp.zeros((big_n - n,) + evals.shape[1:], evals.dtype)
         padded = jnp.concatenate([coeffs, pad], axis=0)
-        spows = F.from_int(np_powers(F.generator_int, big_n, p))
-        lde = self.dft.coset_dft_batch(padded, spows)
-        brev = jnp.take(lde, jnp.asarray(bit_reverse_indices(big_n)), axis=0)
+        lde = self.dft.coset_dft_batch(padded, _pow_dev(F, F.generator_int, big_n))
+        brev = jnp.take(lde, _brev_dev(big_n), axis=0)
         return coeffs, brev
 
     def commit(self, domains_and_evals):
@@ -139,8 +137,7 @@ class TwoAdicFriPcs(Pcs):
         padded = jnp.concatenate(
             [cf, jnp.zeros((pad_n,) + cf.shape[1:], cf.dtype)], axis=0
         )
-        spows = F.from_int(np_powers(F.generator_int, big_n, F.order))
-        return self.dft.coset_dft_batch(padded, spows)
+        return self.dft.coset_dft_batch(padded, _pow_dev(F, F.generator_int, big_n))
 
     # ---- open ---------------------------------------------------------
 
@@ -179,12 +176,8 @@ class TwoAdicFriPcs(Pcs):
                 log_h = pd.log_lde_heights[m_idx]
                 w = lde_brev.shape[1]
                 # natural-order LDE (invert the bit reversal)
-                lde_nat = jnp.take(
-                    lde_brev, jnp.asarray(bit_reverse_indices(big_n)), axis=0
-                )
-                xs = F.from_int(
-                    np_powers(F.two_adic_generator_int(log_h), big_n, p)
-                )
+                lde_nat = jnp.take(lde_brev, _brev_dev(big_n), axis=0)
+                xs = _pow_dev(F, F.two_adic_generator_int(log_h), big_n)
                 xs = F.mul(xs, jnp.broadcast_to(F.from_int(F.generator_int), xs.shape))
                 for pt_idx, z in enumerate(points):
                     # alpha powers for this (matrix, point): w consecutive
@@ -199,9 +192,7 @@ class TwoAdicFriPcs(Pcs):
                     ro = _reduced_opening(
                         F, EF, lde_nat, xs, z, col_pows, vals
                     )  # (N, D) natural order
-                    ro_brev = jnp.take(
-                        ro, jnp.asarray(bit_reverse_indices(big_n)), axis=0
-                    )
+                    ro_brev = jnp.take(ro, _brev_dev(big_n), axis=0)
                     key = log_h
                     ro_by_height[key] = (
                         ro_brev
@@ -450,6 +441,19 @@ class TwoAdicFriPcs(Pcs):
 @functools.lru_cache(maxsize=None)
 def _ef_dft(EF):
     return Radix2Dit(EF)
+
+
+# device-resident tables, transferred ONCE per (size/base) — repeated
+# host->device uploads of 8-16MB power/bit-reversal tables per open() call
+# dominate prove latency over a TPU tunnel
+@functools.lru_cache(maxsize=None)
+def _brev_dev(n: int):
+    return jnp.asarray(bit_reverse_indices(n))
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_dev(F, base: int, n: int):
+    return F.from_int(np_powers(base, n, F.order))
 
 
 def _chunked_col_contraction(F, EF, mat, col_pows, chunk: int = 16):

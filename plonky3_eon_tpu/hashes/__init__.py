@@ -2,6 +2,9 @@
 `keccak/`, `blake3/`, `sha256/`, `poseidon/`, `mds/` — SURVEY.md §2.2)."""
 
 from .keccak import KeccakF, keccak256_bytes, keccak_f
+from .mds import CosetMds, Poseidon
+from .monolith import Monolith, bar31
+from .rescue import Rescue
 from .poseidon2 import Poseidon2, default_poseidon2, external_linear_layer, internal_linear_layer
 from .sha256 import Sha256, Sha256Compress, sha256_compress
 from .blake3 import Blake3Compress, Blake3Hasher, blake3_bytes, blake3_compress
@@ -14,6 +17,11 @@ from .sponge import (
 )
 
 __all__ = [
+    "CosetMds",
+    "Poseidon",
+    "Monolith",
+    "bar31",
+    "Rescue",
     "KeccakF",
     "keccak_f",
     "keccak256_bytes",

@@ -32,6 +32,8 @@ class CosetMds:
     (ref: `coset_mds.rs:16`; N-scaling because the reference skips 1/N)."""
 
     def __init__(self, F: Field, n: int):
+        if n & (n - 1):
+            raise ValueError(f"CosetMds width must be a power of two, got {n}")
         self.F = F
         self.n = n
         self.dft = Radix2Dit(F)

@@ -134,3 +134,40 @@ def test_preprocessed_trace_roundtrip():
     proof.opened_values.preprocessed_local = t
     with pytest.raises((VerificationError, ValueError)):
         verify_with_preprocessed(config, air, proof, [], vk)
+
+
+def test_virtual_pair_col_and_sub_builder():
+    """VirtualPairCol affine combinations + SubAirBuilder column windows
+    (ref: air/src/virtual_column.rs:14, uni-stark/src/sub_builder.rs:21)."""
+    from plonky3_eon_tpu.air import BaseAir
+    from plonky3_eon_tpu.air.virtual_column import SubAirBuilder, VirtualPairCol
+
+    F, EF = BabyBear, BabyBear4
+
+    class InnerAir(BaseAir):
+        width = 2
+
+        def eval(self, b):
+            # within the window: col1 == 2 * col0
+            b.assert_eq(b.main.local[1], b.main.local[0] * 2)
+
+    class OuterAir(BaseAir):
+        width = 4
+
+        def eval(self, b):
+            InnerAir().eval(SubAirBuilder(b, 1, 2))  # window = cols 1..3
+            vc = VirtualPairCol([(VirtualPairCol.single_main(0).column_weights[0][0], 3)], 5)
+            # col3 == 3*col0 + 5
+            b.assert_eq(b.main.local[3], vc.apply(b))
+
+    n = 8
+    rng = np.random.default_rng(0)
+    c0 = rng.integers(0, 1000, size=n, dtype=np.uint64)
+    c1 = rng.integers(0, 1000, size=n, dtype=np.uint64)
+    c2 = (2 * c1) % BabyBear.order
+    c3 = (3 * c0 + 5) % BabyBear.order
+    trace = BabyBear.from_int(np.stack([c0, c1, c2, c3], axis=1))
+    check_constraints(OuterAir(), F, EF, trace, [])
+    bad = trace.at[2, 2].set(BabyBear.from_int(7))
+    with pytest.raises(AssertionError):
+        check_constraints(OuterAir(), F, EF, bad, [])
