@@ -113,6 +113,19 @@ class DuplexChallenger:
         # Snapshot the state the witness observation would see.
         base_state = self._state.copy()
         pending = list(self._input)
+        # native single-thread search first (microseconds/candidate, no
+        # device round trip at all)
+        from ..hashes.poseidon2 import Poseidon2
+
+        if isinstance(self.perm, Poseidon2) and F.order < (1 << 32):
+            from ..native import poseidon2_grind_native
+
+            w = poseidon2_grind_native(self.perm, base_state, pending, R, bits)
+            if w is not None:
+                self.observe_ints([w])
+                s = self.sample_int()
+                assert s & ((1 << bits) - 1) == 0
+                return w
         start = 0
         while True:
             cands = np.arange(start, start + batch, dtype=np.uint64).astype(self._dtype) % F.order

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +47,11 @@ class MerkleTreeMmcs:
     def __init__(self, hasher, compressor):
         self.hasher = hasher
         self.compressor = compressor
+        #: whole-tree programs compiled per matrix-shape signature — the
+        #: level-by-level build is ~log2(h) kernel dispatches otherwise,
+        #: and dispatch latency dominates over a TPU tunnel
+        self._commit_cache: dict = {}
+        self._verify_cache: dict = {}
 
     # ---- commit -------------------------------------------------------
 
@@ -54,17 +60,13 @@ class MerkleTreeMmcs:
         flat = jnp.concatenate([m.reshape(m.shape[0], -1) for m in mats], axis=1)
         return self.hasher.hash(flat)
 
-    def commit(self, matrices: list):
-        if not matrices:
-            raise ValueError("no matrices to commit")
+    def _build_tree(self, matrices: list):
+        """Pure-jnp whole-tree construction (traced under jit)."""
         heights = [int(m.shape[0]) for m in matrices]
-        for h in heights:
-            log2_strict(h)
         max_h = max(heights)
         by_height: dict = {}
         for m, h in zip(matrices, heights):
             by_height.setdefault(h, []).append(m)
-
         levels = []
         digests = self._rows_digest(by_height[max_h])
         levels.append(digests)
@@ -79,7 +81,20 @@ class MerkleTreeMmcs:
                     jnp.stack([digests, inj], axis=1)
                 )
             levels.append(digests)
-        root = digests[0]
+        return digests[0], levels
+
+    def commit(self, matrices: list):
+        if not matrices:
+            raise ValueError("no matrices to commit")
+        heights = [int(m.shape[0]) for m in matrices]
+        for h in heights:
+            log2_strict(h)
+        key = tuple(tuple(int(d) for d in m.shape) for m in matrices)
+        fn = self._commit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda mats: self._build_tree(list(mats)))
+            self._commit_cache[key] = fn
+        root, levels = fn(tuple(matrices))
         return root, MerkleProverData(matrices=list(matrices), levels=levels, heights=heights)
 
     # ---- open ---------------------------------------------------------
@@ -93,21 +108,39 @@ class MerkleTreeMmcs:
         idx = np.atleast_1d(np.asarray(indices, dtype=np.int64))
         max_h = max(pd.heights)
         log_max = log2_strict(max_h)
-        opened = []
-        for m, h in zip(pd.matrices, pd.heights):
-            shift = log_max - log2_strict(h)
-            opened.append(jnp.take(m, jnp.asarray(idx >> shift), axis=0))
-        sibs = []
-        cur = idx.copy()
-        for level in pd.levels[:-1]:  # all levels that have a sibling
-            sibs.append(jnp.take(level, jnp.asarray(cur ^ 1), axis=0))
-            cur >>= 1
-        proof = (
-            jnp.stack(sibs, axis=1)
-            if sibs
-            else jnp.zeros((len(idx), 0, DIGEST_WIDTH), jnp.uint32)
+        # ONE fused gather program per (shapes, #queries): row + sibling
+        # gathers are ~log2(h) dispatches otherwise
+        key = (
+            "open",
+            tuple(tuple(int(d) for d in m.shape) for m in pd.matrices),
+            len(idx),
         )
-        return opened, proof
+        fn = self._commit_cache.get(key)
+        if fn is None:
+            shifts = [log_max - log2_strict(h) for h in pd.heights]
+
+            def gather(matrices, levels, idx_dev):
+                opened = [
+                    jnp.take(m, idx_dev >> s, axis=0)
+                    for m, s in zip(matrices, shifts)
+                ]
+                sibs, cur = [], idx_dev
+                for level in levels[:-1]:  # all levels that have a sibling
+                    sibs.append(jnp.take(level, cur ^ 1, axis=0))
+                    cur = cur >> 1
+                proof = (
+                    jnp.stack(sibs, axis=1)
+                    if sibs
+                    else jnp.zeros((idx_dev.shape[0], 0, DIGEST_WIDTH), jnp.uint32)
+                )
+                return tuple(opened), proof
+
+            fn = jax.jit(gather)
+            self._commit_cache[key] = fn
+        opened, proof = fn(
+            tuple(pd.matrices), tuple(pd.levels), jnp.asarray(idx, dtype=jnp.int32)
+        )
+        return list(opened), proof
 
     # ---- verify -------------------------------------------------------
 
@@ -122,31 +155,57 @@ class MerkleTreeMmcs:
         heights = [d[0] for d in dims]
         max_h = max(heights)
         log_max = log2_strict(max_h)
-        by_height: dict = {}
-        for vals, h in zip(opened_values, heights):
-            by_height.setdefault(h, []).append(vals)
-
-        digest = self.hasher.hash(
-            jnp.concatenate([v.reshape(q, -1) for v in by_height[max_h]], axis=1)
+        key = (
+            tuple(tuple(int(x) for x in d) for d in dims),
+            q,
+            tuple(int(s) for s in np.asarray(proof).shape),
         )
-        cur = idx.copy()
-        h = max_h
-        for lvl in range(log_max):
-            sib = proof[:, lvl]
-            left_is_cur = (cur & 1) == 0
-            mask = jnp.asarray(left_is_cur[:, None], dtype=bool)
-            left = jnp.where(mask, digest, sib)
-            right = jnp.where(mask, sib, digest)
-            digest = self.compressor.compress(jnp.stack([left, right], axis=1))
-            cur >>= 1
-            h //= 2
-            if h in by_height:
-                inj = self.hasher.hash(
-                    jnp.concatenate([v.reshape(q, -1) for v in by_height[h]], axis=1)
+        fn = self._verify_cache.get(key)
+        if fn is None:
+
+            def walk(commitment, idx_dev, opened_values, proof):
+                by_height: dict = {}
+                for vals, h in zip(opened_values, heights):
+                    by_height.setdefault(h, []).append(vals)
+                digest = self.hasher.hash(
+                    jnp.concatenate(
+                        [v.reshape(q, -1) for v in by_height[max_h]], axis=1
+                    )
                 )
-                digest = self.compressor.compress(jnp.stack([digest, inj], axis=1))
-        expect = jnp.broadcast_to(commitment[None, :], (q, DIGEST_WIDTH))
-        return bool(jnp.all(digest == expect))
+                cur = idx_dev
+                h = max_h
+                for lvl in range(log_max):
+                    sib = proof[:, lvl]
+                    mask = ((cur & 1) == 0)[:, None]
+                    left = jnp.where(mask, digest, sib)
+                    right = jnp.where(mask, sib, digest)
+                    digest = self.compressor.compress(
+                        jnp.stack([left, right], axis=1)
+                    )
+                    cur = cur >> 1
+                    h //= 2
+                    if h in by_height:
+                        inj = self.hasher.hash(
+                            jnp.concatenate(
+                                [v.reshape(q, -1) for v in by_height[h]], axis=1
+                            )
+                        )
+                        digest = self.compressor.compress(
+                            jnp.stack([digest, inj], axis=1)
+                        )
+                expect = jnp.broadcast_to(commitment[None, :], (q, DIGEST_WIDTH))
+                return jnp.all(digest == expect)
+
+            fn = jax.jit(walk)
+            self._verify_cache[key] = fn
+        return bool(
+            fn(
+                jnp.asarray(commitment),
+                jnp.asarray(idx, dtype=jnp.int32),
+                tuple(jnp.asarray(v) for v in opened_values),
+                jnp.asarray(proof),
+            )
+        )
 
 
 class ExtensionMmcs:

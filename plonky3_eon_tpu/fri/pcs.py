@@ -145,15 +145,39 @@ class TwoAdicFriPcs(Pcs):
         F, EF = self.F, self.EF
         p = F.order
 
-        # 1. compute all claimed evaluations via stored coefficients
+        # 1. compute all claimed evaluations via stored coefficients —
+        # ONE jitted program for every (matrix, point) pair: zeta-power
+        # tables are shared across matrices and dispatch latency is paid
+        # once (sequential small dispatches dominate over a TPU tunnel)
         opened = []
         sp = span("fri: claimed evals"); sp.__enter__()
+        flat_coeffs, flat_sig, z_ids, zs = [], [], {}, []
+        for pd, points_per_matrix in rounds:
+            for cf, points in zip(pd.coeffs, points_per_matrix):
+                pt_ids = []
+                for z in points:
+                    zi = z_ids.get(id(z))
+                    if zi is None:
+                        zi = len(zs)
+                        z_ids[id(z)] = zi
+                        zs.append(z)
+                    pt_ids.append(zi)
+                flat_coeffs.append(cf)
+                flat_sig.append(
+                    (int(cf.shape[0]), int(cf.shape[1]), tuple(pt_ids))
+                )
+        all_vals = _claimed_evals_batch(
+            F, EF, tuple(flat_sig), tuple(flat_coeffs), jnp.stack(zs)
+        )
+        vi = 0
+        m_flat = 0
         for pd, points_per_matrix in rounds:
             round_vals = []
             for cf, points in zip(pd.coeffs, points_per_matrix):
-                round_vals.append(
-                    [eval_coeffs_at_ext_point(F, EF, cf, z) for z in points]
-                )
+                npts = len(flat_sig[m_flat][2])
+                round_vals.append([all_vals[vi + k] for k in range(npts)])
+                vi += npts
+                m_flat += 1
             opened.append(round_vals)
 
         # 2. bind claimed evals, sample the batch-RLC alpha
@@ -243,23 +267,51 @@ class TwoAdicFriPcs(Pcs):
 
         sp.__exit__(None, None, None)
         sp = span("fri: query openings"); sp.__enter__()
-        # 6. query openings (vectorized across queries)
+        # 6. query openings (vectorized across queries). All gathers are
+        # dispatched async; results are packed into ONE (q, total) device
+        # buffer and downloaded in a single transfer — per-array downloads
+        # cost a tunnel round trip each.
         q = np.asarray(query_indices, dtype=np.int64)
-        input_openings = []
+        nq = len(q)
+        bufs, splits = [], []  # device pieces + (kind, shape) metadata
+
+        def push(arr):
+            bufs.append(arr.reshape(nq, -1))
+            splits.append(tuple(int(s) for s in arr.shape))
+
+        input_meta = []
         for pd, _ in rounds:
             log_round_max = max(pd.log_lde_heights)
             idx = q >> (log_max - log_round_max)
             opened_rows, proof = self.mmcs.open_batch(idx, pd.merkle_data)
-            input_openings.append(
-                ([np.asarray(r) for r in opened_rows], np.asarray(proof))
-            )
-        commit_phase_openings = []
+            for r in opened_rows:
+                push(r)
+            push(proof)
+            input_meta.append(len(opened_rows))
         lh = log_max
         for (mdata, pairs) in fold_data:
             idx = (q >> (log_max - lh)) >> 1
             rows, proof = self.challenge_mmcs.open_batch(idx, mdata)
-            commit_phase_openings.append((np.asarray(rows[0]), np.asarray(proof)))
+            push(rows[0])
+            push(proof)
             lh -= 1
+        packed = np.asarray(jnp.concatenate(bufs, axis=1)) if bufs else None
+        pieces, off = [], 0
+        for shape in splits:
+            w = int(np.prod(shape[1:], dtype=np.int64))
+            pieces.append(packed[:, off : off + w].reshape(shape))
+            off += w
+        pi = 0
+        input_openings = []
+        for n_mats in input_meta:
+            rows = [pieces[pi + k] for k in range(n_mats)]
+            proof = pieces[pi + n_mats]
+            pi += n_mats + 1
+            input_openings.append((rows, proof))
+        commit_phase_openings = []
+        for _ in fold_data:
+            commit_phase_openings.append((pieces[pi], pieces[pi + 1]))
+            pi += 2
 
         sp.__exit__(None, None, None)
         fri_proof = FriProof(
@@ -441,6 +493,54 @@ class TwoAdicFriPcs(Pcs):
 @functools.lru_cache(maxsize=None)
 def _ef_dft(EF):
     return Radix2Dit(EF)
+
+
+#: compiled claimed-evals programs keyed by (F, EF, shape signature)
+_CLAIMED_EVALS_CACHE: dict = {}
+
+
+def _claimed_evals_batch(F, EF, sig, coeffs, zs):
+    """Evaluate every coefficient matrix at its assigned points in one
+    jitted program. sig: per matrix (n, w, point_indices); zs: (nz, D)."""
+    key = (F.name, EF.name, sig)
+    fn = _CLAIMED_EVALS_CACHE.get(key)
+    if fn is None:
+        # max table length needed per distinct point
+        n_by_z: dict = {}
+        for n, _w, pt_ids in sig:
+            for zi in pt_ids:
+                n_by_z[zi] = max(n_by_z.get(zi, 0), n)
+
+        def body(coeffs, zs):
+            tables = {zi: EF.powers(zs[zi], n) for zi, n in n_by_z.items()}
+            out = []
+            for cf, (n, w, pt_ids) in zip(coeffs, sig):
+                for zi in pt_ids:
+                    zp = tables[zi][:n]
+                    out.append(_coeff_contraction(F, EF, cf, zp))
+            return tuple(out)
+
+        fn = jax.jit(body)
+        _CLAIMED_EVALS_CACHE[key] = fn
+    return fn(tuple(coeffs), zs)
+
+
+def _coeff_contraction(F, EF, coeffs, zpows, row_chunk: int = 1 << 14):
+    """sum_i zpows_i * coeffs[i, :] -> (w, D), chunk-scanned over rows."""
+    n, w = coeffs.shape[0], coeffs.shape[1]
+    if n <= row_chunk:
+        return EF.sum(EF.mul_base(zpows[:, None, :], coeffs), axis=0)
+    assert n % row_chunk == 0
+    nc = n // row_chunk
+    cf = coeffs.reshape((nc, row_chunk) + coeffs.shape[1:])
+    zp = zpows.reshape(nc, row_chunk, EF.D)
+
+    def step(acc, xs):
+        c, z = xs
+        return EF.add(acc, EF.sum(EF.mul_base(z[:, None], c), axis=0)), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((w, EF.D), coeffs.dtype), (cf, zp))
+    return acc
 
 
 # device-resident tables, transferred ONCE per (size/base) — repeated

@@ -252,6 +252,12 @@ class Poseidon2:
         p = self.F.order
         w = self.width
         half_f = self.rounds_f // 2
+        if p < 1 << 32:
+            from ..native import poseidon2_permute_native
+
+            out = poseidon2_permute_native(self, np.asarray(state, dtype=np.uint64))
+            if out is not None:
+                return out
         if p >= 1 << 32:
             # big fields (BN254): exact Python-int arithmetic in object arrays
             ops = _HostModOps(p, big=True)
