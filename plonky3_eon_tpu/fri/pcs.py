@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..commit.domain import TwoAdicMultiplicativeCoset
+from ..commit.merkle import DIGEST_WIDTH, MerkleProverData
 from ..commit.pcs import Pcs, eval_coeffs_at_ext_point
 from ..ops.dft import Radix2Dit, np_powers
 from ..utils import bit_reverse_indices, log2_strict, reverse_bits_len
@@ -188,41 +189,31 @@ class TwoAdicFriPcs(Pcs):
         alpha = challenger.sample_ext(EF)
         sp.__exit__(None, None, None)
 
-        # 3. reduced openings per LDE height (natural order), alpha powers
-        #    assigned per (round, matrix, point, column) in order
-        ro_by_height: dict = {}
+        # 3. reduced openings per LDE height, computed DIRECTLY in
+        #    bit-reversed row order (the order the fold phase consumes):
+        #    the x-coordinate table is gathered bit-reversed once per
+        #    (field, log_h) instead of permuting every LDE matrix twice.
+        #    The whole phase is one jitted program per shape signature.
         sp = span("fri: reduced openings"); sp.__enter__()
-        alpha_pow = EF.ones(())
+        ro_sig, ro_ldes, ro_vals, ro_zids = [], [], [], []
         for (pd, points_per_matrix), round_vals in zip(rounds, opened):
             for m_idx, (cf, points) in enumerate(zip(pd.coeffs, points_per_matrix)):
                 lde_brev = pd.ldes_brev[m_idx]
-                big_n = lde_brev.shape[0]
-                log_h = pd.log_lde_heights[m_idx]
-                w = lde_brev.shape[1]
-                # natural-order LDE (invert the bit reversal)
-                lde_nat = jnp.take(lde_brev, _brev_dev(big_n), axis=0)
-                xs = _pow_dev(F, F.two_adic_generator_int(log_h), big_n)
-                xs = F.mul(xs, jnp.broadcast_to(F.from_int(F.generator_int), xs.shape))
-                for pt_idx, z in enumerate(points):
-                    # alpha powers for this (matrix, point): w consecutive
-                    col_pows = []
-                    ap = alpha_pow
-                    for _ in range(w):
-                        col_pows.append(ap)
-                        ap = EF.mul(ap, alpha)
-                    alpha_pow = ap
-                    col_pows = jnp.stack(col_pows)  # (w, D)
-                    vals = round_vals[m_idx][pt_idx]  # (w, D)
-                    ro = _reduced_opening(
-                        F, EF, lde_nat, xs, z, col_pows, vals
-                    )  # (N, D) natural order
-                    ro_brev = jnp.take(ro, _brev_dev(big_n), axis=0)
-                    key = log_h
-                    ro_by_height[key] = (
-                        ro_brev
-                        if key not in ro_by_height
-                        else EF.add(ro_by_height[key], ro_brev)
+                pt_ids = tuple(z_ids[id(z)] for z in points)
+                ro_sig.append(
+                    (
+                        int(pd.log_lde_heights[m_idx]),
+                        int(lde_brev.shape[0]),
+                        int(lde_brev.shape[1]),
+                        pt_ids,
                     )
+                )
+                ro_ldes.append(lde_brev)
+                ro_vals.extend(round_vals[m_idx])
+        ro_by_height = _reduced_openings_batch(
+            F, EF, tuple(ro_sig), tuple(ro_ldes), alpha,
+            jnp.stack(zs), tuple(ro_vals),
+        )
 
         # 4. FRI fold phase
         for v in ro_by_height.values():
@@ -232,22 +223,29 @@ class TwoAdicFriPcs(Pcs):
         heights = sorted(ro_by_height, reverse=True)
         log_max = heights[0]
         cur = ro_by_height[log_max]
-        commits, fold_data, betas = [], [], []
+        commits, fold_data = [], []
         log_h = log_max
         log_final = self.fri.log_blowup + self.fri.log_final_poly_len
-        while log_h > log_final:
-            half = 1 << (log_h - 1)
-            pairs = cur.reshape(half, 2, EF.D)
-            root, mdata = self.challenge_mmcs.commit([pairs.reshape(half, 2 * EF.D)])
-            commits.append(np.asarray(root))
-            fold_data.append((mdata, pairs))
-            challenger.observe(jnp.asarray(root).reshape(-1))
-            beta = challenger.sample_ext(EF)
-            betas.append(beta)
-            cur = _fold_round(F, EF, pairs, beta, log_h)
-            log_h -= 1
-            if log_h in ro_by_height:
-                cur = EF.add(cur, ro_by_height[log_h])
+        dev = _device_fold_phase(
+            self, F, EF, challenger, ro_by_height, log_max, log_final
+        )
+        if dev is not None:
+            commits, fold_data, cur = dev
+        else:
+            while log_h > log_final:
+                half = 1 << (log_h - 1)
+                pairs = cur.reshape(half, 2, EF.D)
+                root, mdata = self.challenge_mmcs.commit(
+                    [pairs.reshape(half, 2 * EF.D)]
+                )
+                commits.append(np.asarray(root))
+                fold_data.append((mdata, pairs))
+                challenger.observe(jnp.asarray(root).reshape(-1))
+                beta = challenger.sample_ext(EF)
+                cur = _fold_round(F, EF, pairs, beta, log_h)
+                log_h -= 1
+                if log_h in ro_by_height:
+                    cur = EF.add(cur, ro_by_height[log_h])
 
         sp.__exit__(None, None, None)
         sp = span("fri: final+grind"); sp.__enter__()
@@ -498,6 +496,174 @@ def _ef_dft(EF):
 #: compiled claimed-evals programs keyed by (F, EF, shape signature)
 _CLAIMED_EVALS_CACHE: dict = {}
 
+#: compiled reduced-openings programs keyed by (F, EF, shape signature)
+_REDUCED_OPENINGS_CACHE: dict = {}
+
+#: compiled device-resident fold-phase programs
+_FOLD_PHASE_CACHE: dict = {}
+
+
+def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final):
+    """Run ALL fold rounds in one device program, emulating the duplex
+    challenger on-device (absorb root -> permute -> squeeze beta), so the
+    whole phase costs ONE dispatch + ONE small download instead of a host
+    round trip per round (~31ms each over a TPU tunnel).
+
+    Returns (commits, fold_data, cur) or None when the transcript shape
+    doesn't fit the fast path (non-Poseidon2 challenger, pending inputs,
+    big field) — callers fall back to the host-sequenced loop.
+
+    Transcript-equivalence argument: at entry the challenger has no pending
+    inputs (sampling flushes them), so each round is exactly
+    observe(8-elem root) == one duplex overwrite of state[:RATE], then
+    sample_ext pops output[RATE-1-j] for j in 0..D-1. The device program
+    replays precisely that on the Montgomery form (device permute on
+    Montgomery lanes == host permute on canonical ints), and the host
+    challenger state is reseeded from the downloaded final state.
+    """
+    from ..challenger import DuplexChallenger
+    from ..hashes.poseidon2 import Poseidon2
+
+    if not isinstance(challenger, DuplexChallenger):
+        return None
+    perm = challenger.perm
+    if (
+        not isinstance(perm, Poseidon2)
+        or F.order >= (1 << 32)
+        or challenger._input
+        or challenger.rate != DIGEST_WIDTH
+        or EF.D > challenger.rate
+        or log_max <= log_final
+    ):
+        return None
+    mmcs = pcs.challenge_mmcs
+    heights = tuple(sorted(ro_by_height, reverse=True))
+    key = (F.name, EF.name, id(perm), id(mmcs), heights, log_max, log_final)
+    fn = _FOLD_PHASE_CACHE.get(key)
+    rate, D = challenger.rate, EF.D
+    num_rounds = log_max - log_final
+
+    if fn is None:
+
+        def body(state, ros, inv2x_tables):
+            ro = dict(zip(heights, ros))
+            cur = ro[log_max]
+            roots, all_levels, all_pairs = [], [], []
+            st = state[None]  # (1, W)
+            for log_h in range(log_max, log_final, -1):
+                half = 1 << (log_h - 1)
+                pairs = cur.reshape(half, 2, D)
+                root, levels = mmcs._build_tree([pairs.reshape(half, 2 * D)])
+                roots.append(root)
+                all_levels.append(tuple(levels))
+                all_pairs.append(pairs)
+                # duplex: overwrite rate section with the digest, permute
+                st = st.at[0, :rate].set(root)
+                st = perm.permute(st)
+                beta = jnp.stack([st[0, rate - 1 - j] for j in range(D)])
+                e_o = _fold_pair(F, EF, pairs, beta, inv2x_tables[log_h])
+                cur = e_o
+                if log_h - 1 in ro:
+                    cur = EF.add(cur, ro[log_h - 1])
+            packed_small = jnp.concatenate(
+                [jnp.stack(roots).reshape(-1), st[0]]
+            )
+            return packed_small, tuple(all_levels), tuple(all_pairs), cur
+
+        fn = jax.jit(body)
+        _FOLD_PHASE_CACHE[key] = fn
+
+    state_mont = F.from_int(np.asarray(challenger._state, dtype=np.uint64))
+    ros = tuple(ro_by_height[h] for h in heights)
+    inv2x_tables = {
+        log_h: _inv2x_brev_dev(F, log_h)
+        for log_h in range(log_max, log_final, -1)
+    }
+    packed_small, all_levels, all_pairs, cur = fn(state_mont, ros, inv2x_tables)
+    small = np.asarray(packed_small)  # ONE download: roots + final state
+    roots_np = small[: num_rounds * DIGEST_WIDTH].reshape(num_rounds, DIGEST_WIDTH)
+    state_mont_np = small[num_rounds * DIGEST_WIDTH :]
+    # reseed the host transcript: state, empty input, leftover outputs
+    state_canon = np.asarray(
+        F.to_ints(state_mont_np), dtype=challenger._dtype
+    )
+    challenger._state = state_canon.copy()
+    challenger._input = []
+    challenger._output = [int(x) for x in state_canon[: rate - D]]
+    commits, fold_data = [], []
+    for r, log_h in enumerate(range(log_max, log_final, -1)):
+        half = 1 << (log_h - 1)
+        pairs = all_pairs[r]
+        mdata = MerkleProverData(
+            matrices=[pairs.reshape(half, 2 * D)],
+            levels=list(all_levels[r]),
+            heights=[half],
+        )
+        commits.append(roots_np[r])
+        fold_data.append((mdata, pairs))
+    return commits, fold_data, cur
+
+
+def _fold_pair(F, EF, pairs, beta, inv2x_brev):
+    """e + beta*o on (half, 2, D) bit-reversed pairs (traced inline)."""
+    half_n = pairs.shape[0]
+    half = F.from_int((F.order + 1) // 2)
+    e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
+    o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), inv2x_brev)
+    return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
+
+
+@functools.lru_cache(maxsize=None)
+def _xs_brev_dev(F, log_h: int, n: int):
+    """x_i = g * h^rev(i) for the size-2^log_h coset, bit-reversed order."""
+    p = F.order
+    xs = (np_powers(F.two_adic_generator_int(log_h), n, p)
+          * np.uint64(F.generator_int % p)) % np.uint64(p)
+    return F.from_int(xs[np.asarray(bit_reverse_indices(n), dtype=np.int64)])
+
+
+def _reduced_openings_batch(F, EF, sig, ldes, alpha, zs, vals):
+    """All reduced openings in ONE jitted program, bit-reversed row order.
+
+    sig: per matrix (log_h, big_n, w, point_indices); ldes: matching
+    bit-reversed LDE matrices; zs: (nz, D) distinct points; vals: claimed
+    evals (w, D) flattened in (matrix, point) order. Returns
+    {log_h: (big_n, D) accumulated reduced opening} (device arrays).
+    """
+    key = (F.name, EF.name, sig)
+    fn = _REDUCED_OPENINGS_CACHE.get(key)
+    heights = sorted({s[0] for s in sig}, reverse=True)
+    if fn is None:
+        total_w = sum(w * len(pt_ids) for (_, _, w, pt_ids) in sig)
+
+        def body(ldes, alpha, zs, vals, xs_tables):
+            apows = EF.powers(alpha, total_w)  # (total_w, D)
+            acc = {h: None for h in heights}
+            col0 = 0
+            vi = 0
+            for lde_brev, (log_h, big_n, w, pt_ids) in zip(ldes, sig):
+                xs = xs_tables[log_h]
+                for zi in pt_ids:
+                    col_pows = apows[col0 : col0 + w]
+                    col0 += w
+                    v = vals[vi]
+                    vi += 1
+                    num = _chunked_col_contraction(F, EF, lde_brev, col_pows)
+                    vsum = EF.sum(EF.mul(col_pows, v), axis=0)
+                    diff = EF.sub(num, vsum)
+                    denom = EF.sub(EF.from_base(xs), zs[zi])
+                    ro = EF.mul(diff, EF.inv(denom))
+                    acc[log_h] = ro if acc[log_h] is None else EF.add(acc[log_h], ro)
+            return tuple(acc[h] for h in heights)
+
+        fn = jax.jit(body, static_argnames=())
+        _REDUCED_OPENINGS_CACHE[key] = fn
+    xs_tables = {
+        log_h: _xs_brev_dev(F, log_h, big_n) for (log_h, big_n, _w, _p) in sig
+    }
+    out = fn(tuple(ldes), alpha, zs, tuple(vals), xs_tables)
+    return dict(zip(heights, out))
+
 
 def _claimed_evals_batch(F, EF, sig, coeffs, zs):
     """Evaluate every coefficient matrix at its assigned points in one
@@ -595,22 +761,6 @@ def _final_poly_coeffs(F, EF, cur, log_final: int, log_len: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _reduced_opening(F, EF, lde_nat, xs, zeta, col_pows, vals):
-    """sum_c apow_c * (f_c(x) - f_c(zeta)) / (x - zeta) over the whole domain.
-
-    lde_nat: (N, w) base; xs: (N,) base points; zeta: (D,); col_pows: (w, D);
-    vals: (w, D). Returns (N, D). The column contraction runs as a scan over
-    column chunks so peak memory is (N, chunk, D) instead of (N, w, D) —
-    a 164-column trace at N = 2^21 would otherwise materialize ~5.5 GB."""
-    num = _chunked_col_contraction(F, EF, lde_nat, col_pows)
-    # sum_c apow_c * v_c : (w, D) -> (D,)
-    vsum = EF.sum(EF.mul(col_pows, vals), axis=0)
-    diff = EF.sub(num, vsum)
-    denom = EF.sub(EF.from_base(xs), zeta)  # (N, D)
-    return EF.mul(diff, EF.inv(denom))
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def _reduced_opening_at_queries(F, EF, rows, xs, zeta, col_pows, claimed):
     """Same contraction at (nq,) query points: rows (nq, w), xs (nq,)."""
     num = EF.sum(F.mul(col_pows[None], rows[..., None]), axis=1)
@@ -620,21 +770,35 @@ def _reduced_opening_at_queries(F, EF, rows, xs, zeta, col_pows, claimed):
     return EF.mul(diff, EF.inv(denom))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
-def _fold_round(F, EF, pairs, beta, log_h):
-    """One arity-2 FRI fold: pairs (half, 2, D) in bit-reversed layout ->
-    (half, D). e + beta*o with o = (p0 - p1)/(2x)."""
+@functools.lru_cache(maxsize=None)
+def _inv2x_brev_dev(F, log_h: int):
+    """1/(2 x_i) with x_i = g*h^i over the half-size coset, bit-reversed —
+    a geometric sequence (2g)^-1 * h^-i, cached on device per (F, log_h)."""
     p = F.order
-    half_n = pairs.shape[0]
+    half_n = 1 << (log_h - 1)
     h_gen = F.two_adic_generator_int(log_h)
-    # 1/(2 x_i) with x_i = g*h^i is the geometric sequence (2g)^-1 * h^-i:
-    # one host power table, gathered bit-reversed (becomes an XLA constant).
     h_inv = pow(h_gen, p - 2, p)
     inv2g = pow((2 * F.generator_int) % p, p - 2, p)
     inv2x = (np_powers(h_inv, half_n, p) * np.uint64(inv2g)) % np.uint64(p)
-    brev = bit_reverse_indices(half_n)
-    inv2x_brev = inv2x[np.asarray(brev, dtype=np.int64)]
-    half = F.from_int((p + 1) // 2)
-    e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
-    o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), F.from_int(inv2x_brev))
-    return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
+    brev = np.asarray(bit_reverse_indices(half_n), dtype=np.int64)
+    return F.from_int(inv2x[brev])
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_round_fn(F, EF):
+    half = F.from_int((F.order + 1) // 2)
+
+    def body(pairs, beta, inv2x_brev):
+        half_n = pairs.shape[0]
+        e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
+        o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), inv2x_brev)
+        return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
+
+    return jax.jit(body)
+
+
+def _fold_round(F, EF, pairs, beta, log_h):
+    """One arity-2 FRI fold: pairs (half, 2, D) in bit-reversed layout ->
+    (half, D). e + beta*o with o = (p0 - p1)/(2x). One dispatch; the
+    inverse-2x table is a cached device resident."""
+    return _fold_round_fn(F, EF)(pairs, beta, _inv2x_brev_dev(F, log_h))
