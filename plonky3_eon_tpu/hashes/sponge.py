@@ -15,6 +15,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pallas_sponge_ok(perm, batch: int, tile: int = 512) -> bool:
+    """Static (trace-time) gate for the Pallas fast path: Poseidon2 over a
+    31-bit field, batch divisible by the lane tile, TPU backend."""
+    from .poseidon2 import Poseidon2
+
+    if not isinstance(perm, Poseidon2) or perm.F.order >= (1 << 32):
+        return False
+    if batch % tile:
+        return False
+    from ..ops.pallas_poseidon2 import pallas_available
+
+    return pallas_available()
+
+
 class PaddingFreeSponge:
     """Sponge over a WIDTH-lane permutation, rate RATE, output OUT
     (ref: `symmetric/src/sponge.rs:14`).
@@ -34,6 +48,10 @@ class PaddingFreeSponge:
         batch = inputs.shape[0]
         L = inputs.shape[1]
         sfx = inputs.shape[2:]
+        if not sfx and _pallas_sponge_ok(self.perm, batch):
+            from ..ops.pallas_poseidon2 import sponge_hash_T
+
+            return sponge_hash_T(self.perm, inputs.T, self.rate, self.out).T
         state = jnp.zeros((batch, self.width) + sfx, inputs.dtype)
         n_full, rem = divmod(L, self.rate)
         if n_full:
@@ -85,6 +103,14 @@ class TruncatedPermutation:
         batch = parts.shape[0]
         sfx = parts.shape[3:]
         flat = parts.reshape((batch, self.chunk * self.n) + sfx)
+        if not sfx and _pallas_sponge_ok(self.perm, batch):
+            from ..ops.pallas_poseidon2 import permute_T
+
+            cn = self.chunk * self.n
+            stT = jnp.concatenate(
+                [flat.T, jnp.zeros((self.width - cn, batch), flat.dtype)]
+            ) if cn < self.width else flat.T
+            return permute_T(self.perm, stT)[: self.n].T
         state = jnp.zeros((batch, self.width) + sfx, parts.dtype)
         state = state.at[:, : self.chunk * self.n].set(flat)
         state = self.perm(state)
