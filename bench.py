@@ -27,7 +27,7 @@ def main():
     # Persistent compilation cache: prover stages compile once per shape;
     # later runs (and the driver's repeat invocations) hit the disk cache.
     jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla_bench")
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla")
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

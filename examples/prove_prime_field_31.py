@@ -54,8 +54,13 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    if not args.tpu:
+        # env var alone is overridden by the harness's axon plugin
+        jax.config.update("jax_platforms", "cpu")
+
     jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla")
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/p3tpu_xla" if args.tpu else "~/.cache/p3tpu_xla_cpu")
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -235,6 +235,45 @@ class SerializingChallenger32:
         return self.sample_bits(bits) == 0
 
 
+class SerializingChallenger64:
+    """Field challenger over a byte challenger for 64-bit fields
+    (ref: `serializing_challenger.rs:39`): observe canonical LE u64 bytes;
+    sample by drawing 8 bytes and truncating below 2^floor(log2 p)."""
+
+    def __init__(self, F: Field, inner: HashChallenger):
+        self.F = F
+        self.inner = inner
+        self._log_p = F.order.bit_length() - 1
+
+    def observe(self, value):
+        ints = np.atleast_1d(np.asarray(self.F.to_ints(value)))
+        for v in ints.reshape(-1):
+            self.inner.observe_bytes(int(v).to_bytes(8, "little"))
+
+    def observe_ints(self, ints):
+        for v in np.asarray(ints, dtype=np.uint64).reshape(-1):
+            self.inner.observe_bytes(int(v).to_bytes(8, "little"))
+
+    def sample_int(self) -> int:
+        raw = int.from_bytes(self.inner.sample_bytes(8), "little")
+        return raw & ((1 << self._log_p) - 1)
+
+    def sample(self):
+        return self.F.from_int(self.sample_int())
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample_int() & ((1 << bits) - 1)
+
+    def sample_ext(self, EF):
+        import jax.numpy as jnp
+
+        return jnp.stack([self.sample() for _ in range(EF.D)], axis=-1)
+
+    def check_witness(self, bits: int, witness_int: int) -> bool:
+        self.observe_ints([witness_int])
+        return self.sample_bits(bits) == 0
+
+
 def reduce_32(F_small, F_big, elems) -> int:
     """Pack canonical 32-bit field elements into one big-field element:
     sum_i e_i * 2^(32 i) mod p_big (ref: `field/src/helpers.rs` reduce_32,

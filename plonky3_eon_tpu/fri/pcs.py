@@ -114,13 +114,31 @@ class TwoAdicFriPcs(Pcs):
         return coeffs, brev
 
     def commit(self, domains_and_evals):
-        domains, coeffs, ldes, log_hs = [], [], [], []
-        for domain, ev in domains_and_evals:
-            cf, brev = self._lde_brev(domain, ev)
-            domains.append(domain)
-            coeffs.append(cf)
-            ldes.append(brev)
-            log_hs.append(domain.log_n + self.fri.log_blowup)
+        items = list(domains_and_evals)
+        # batch same-(height, shift) matrices through ONE width-concatenated
+        # DFT chain (quotient chunks: 4 transforms -> 1)
+        groups: dict = {}
+        for i, (domain, ev) in enumerate(items):
+            groups.setdefault((domain.log_n, domain.shift_int), []).append(i)
+        coeffs_by_idx: dict = {}
+        ldes_by_idx: dict = {}
+        for (log_n, shift), idxs in groups.items():
+            widths = [int(items[i][1].shape[1]) for i in idxs]
+            cat = (
+                items[idxs[0]][1]
+                if len(idxs) == 1
+                else jnp.concatenate([items[i][1] for i in idxs], axis=1)
+            )
+            cf_cat, brev_cat = self._lde_brev(items[idxs[0]][0], cat)
+            off = 0
+            for i, w in zip(idxs, widths):
+                coeffs_by_idx[i] = cf_cat[:, off : off + w]
+                ldes_by_idx[i] = brev_cat[:, off : off + w]
+                off += w
+        domains = [d for d, _ in items]
+        coeffs = [coeffs_by_idx[i] for i in range(len(items))]
+        ldes = [ldes_by_idx[i] for i in range(len(items))]
+        log_hs = [d.log_n + self.fri.log_blowup for d, _ in items]
         root, mdata = self.mmcs.commit(ldes)
         pd = FriProverData(domains, coeffs, ldes, mdata, log_hs)
         return np.asarray(root), pd
@@ -536,7 +554,15 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
         or log_max <= log_final
     ):
         return None
+    from ..commit.merkle import ExtensionMmcs, MerkleTreeMmcs
+
     mmcs = pcs.challenge_mmcs
+    if isinstance(mmcs, ExtensionMmcs):
+        # the committed matrices are already base-flattened (half, 2D) —
+        # the inner tree builder sees identical leaves
+        mmcs = mmcs.inner
+    if not isinstance(mmcs, MerkleTreeMmcs):
+        return None
     heights = tuple(sorted(ro_by_height, reverse=True))
     key = (F.name, EF.name, id(perm), id(mmcs), heights, log_max, log_final)
     fn = _FOLD_PHASE_CACHE.get(key)
@@ -638,11 +664,13 @@ def _reduced_openings_batch(F, EF, sig, ldes, alpha, zs, vals):
 
         def body(ldes, alpha, zs, vals, xs_tables):
             apows = EF.powers(alpha, total_w)  # (total_w, D)
-            acc = {h: None for h in heights}
+            # accumulate numerators per (log_h, point) so the expensive
+            # EF inversion of (x - z) runs ONCE per distinct denominator
+            # (quotient chunks share a point: 6 inversions -> 3 at 2^20)
+            diffs: dict = {}
             col0 = 0
             vi = 0
             for lde_brev, (log_h, big_n, w, pt_ids) in zip(ldes, sig):
-                xs = xs_tables[log_h]
                 for zi in pt_ids:
                     col_pows = apows[col0 : col0 + w]
                     col0 += w
@@ -651,9 +679,13 @@ def _reduced_openings_batch(F, EF, sig, ldes, alpha, zs, vals):
                     num = _chunked_col_contraction(F, EF, lde_brev, col_pows)
                     vsum = EF.sum(EF.mul(col_pows, v), axis=0)
                     diff = EF.sub(num, vsum)
-                    denom = EF.sub(EF.from_base(xs), zs[zi])
-                    ro = EF.mul(diff, EF.inv(denom))
-                    acc[log_h] = ro if acc[log_h] is None else EF.add(acc[log_h], ro)
+                    key = (log_h, zi)
+                    diffs[key] = diff if key not in diffs else EF.add(diffs[key], diff)
+            acc = {h: None for h in heights}
+            for (log_h, zi), diff in diffs.items():
+                denom = EF.sub(EF.from_base(xs_tables[log_h]), zs[zi])
+                ro = EF.mul(diff, EF.inv(denom))
+                acc[log_h] = ro if acc[log_h] is None else EF.add(acc[log_h], ro)
             return tuple(acc[h] for h in heights)
 
         fn = jax.jit(body, static_argnames=())

@@ -11,6 +11,7 @@ from .blake3 import Blake3Compress, Blake3Hasher, blake3_bytes, blake3_compress
 from .sponge import (
     CompressionFunctionFromHasher,
     KeccakU64Sponge,
+    MultiField32PaddingFreeSponge,
     PaddingFreeSponge,
     SerializingHasher,
     TruncatedPermutation,
@@ -36,6 +37,7 @@ __all__ = [
     "Blake3Compress",
     "blake3_bytes",
     "blake3_compress",
+    "MultiField32PaddingFreeSponge",
     "PaddingFreeSponge",
     "TruncatedPermutation",
     "CompressionFunctionFromHasher",

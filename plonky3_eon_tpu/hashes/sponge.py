@@ -126,6 +126,69 @@ class TruncatedPermutation:
         return self is other
 
 
+class MultiField32PaddingFreeSponge:
+    """Hash 31/32-bit field elements into a BIG-field sponge (ref:
+    `symmetric/src/sponge.rs:65` `MultiField32PaddingFreeSponge`): each
+    big-field rate lane absorbs `num_f_elms` packed small elements
+    (sum_i e_i * 2^(32 i), injective since 32*num_f_elms < log2(p_big)).
+
+    hash: (batch, L) small elems -> (batch, OUT) big-field elements
+    (digit-suffix arrays). Packing runs on-device: small canonical values
+    land in 16-bit digit pairs, then one big-field mul by R^2 converts to
+    Montgomery form.
+    """
+
+    def __init__(self, F_small, F_big, perm, width: int, rate: int, out: int,
+                 num_f_elms: int | None = None):
+        self.F_small = F_small
+        self.F_big = F_big
+        self.perm = perm
+        self.width = width
+        self.rate = rate
+        self.out = out
+        self.num_f_elms = num_f_elms or (F_big.order.bit_length() - 1) // 32
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def hash(self, inputs):
+        Fs, Fb = self.F_small, self.F_big
+        batch, L = inputs.shape[0], inputs.shape[1]
+        n = self.num_f_elms
+        ndig = Fb.shape_suffix[0]
+        per_block = self.rate * n
+        nblocks = -(-L // per_block)
+        canon = Fs.to_canonical(inputs)
+        pad = nblocks * per_block - L
+        if pad:
+            canon = jnp.concatenate(
+                [canon, jnp.zeros((batch, pad), canon.dtype)], axis=1
+            )
+        grouped = canon.reshape(batch, nblocks, self.rate, n)
+        # pack n small elems into 16-bit digit positions [2i, 2i+1]
+        digits = jnp.zeros((batch, nblocks, self.rate, ndig), jnp.uint32)
+        for i in range(n):
+            e = grouped[..., i]
+            digits = digits.at[..., 2 * i].set(e & jnp.uint32(0xFFFF))
+            digits = digits.at[..., 2 * i + 1].set(e >> 16)
+        # canonical digits -> Montgomery form: Monty-mul by the element
+        # whose raw digits are R^2 (i.e. from_int(R)), since mul divides by R
+        r2 = Fb.from_int(Fb.R_int)
+        blocks = Fb.mul(digits, jnp.broadcast_to(r2, digits.shape))
+        state = Fb.zeros((batch, self.width))
+        for b in range(nblocks):
+            state = state.at[:, : self.rate].set(blocks[:, b])
+            state = self.perm(state)
+        return state[:, : self.out]
+
+    def __call__(self, inputs):
+        return self.hash(inputs)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 class CompressionFunctionFromHasher:
     """2-to-1 compressor from a hasher (ref: `compression.rs:9`)."""
 

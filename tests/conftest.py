@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # compiled executables across test processes.
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla"))
+# The env var alone is NOT enough: the harness's axon plugin re-registers
+# itself into jax_platforms ("axon,cpu") after env processing, and the axon
+# entry then wins. The config update below is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla_cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -27,11 +27,11 @@ def test_pallas_sponge_matches_scan(F):
 
     p2 = Poseidon2(F, 16)
     rng = np.random.default_rng(0)
-    mat = F.from_int(rng.integers(0, F.order, size=(1024, 23), dtype=np.uint64))
+    mat = F.from_int(rng.integers(0, F.order, size=(512, 9), dtype=np.uint64))
     sponge = PaddingFreeSponge(p2, 16, 8, 8)
     # scan reference: bypass the pallas gate by using a non-multiple batch
-    ref = np.asarray(sponge.hash(mat[:1000]))
-    got = np.asarray(sponge_hash_T(p2, jnp.asarray(mat).T, 8, 8).T)[:1000]
+    ref = np.asarray(sponge.hash(mat[:500]))
+    got = np.asarray(sponge_hash_T(p2, jnp.asarray(mat).T, 8, 8).T)[:500]
     assert np.array_equal(ref, got)
 
 
