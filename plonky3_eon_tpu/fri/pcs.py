@@ -681,10 +681,21 @@ def _reduced_openings_batch(F, EF, sig, ldes, alpha, zs, vals):
                     diff = EF.sub(num, vsum)
                     key = (log_h, zi)
                     diffs[key] = diff if key not in diffs else EF.add(diffs[key], diff)
+            # one inversion per distinct point, at the MAX height only: in
+            # bit-reversed order a lower height's x-table is a prefix of
+            # the max height's (same shift g, h_low = h_max^2), so lower
+            # heights slice the inverted table instead of re-inverting
+            log_hs_present = sorted({k[0] for k in diffs}, reverse=True)
+            top = log_hs_present[0]
+            inv_by_z = {}
+            for (log_h, zi) in diffs:
+                if zi not in inv_by_z:
+                    denom = EF.sub(EF.from_base(xs_tables[top]), zs[zi])
+                    inv_by_z[zi] = EF.inv(denom)
             acc = {h: None for h in heights}
             for (log_h, zi), diff in diffs.items():
-                denom = EF.sub(EF.from_base(xs_tables[log_h]), zs[zi])
-                ro = EF.mul(diff, EF.inv(denom))
+                inv_denom = inv_by_z[zi][: diff.shape[0]]
+                ro = EF.mul(diff, inv_denom)
                 acc[log_h] = ro if acc[log_h] is None else EF.add(acc[log_h], ro)
             return tuple(acc[h] for h in heights)
 
