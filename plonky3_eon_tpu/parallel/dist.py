@@ -37,11 +37,14 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("chip",))
 
 
-def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1):
-    """Build a jitted multi-chip step: inputs -> (quotient evals, leaf digests).
+def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1,
+                       public_values=(), trace_arg: bool = False):
+    """Build a jitted multi-chip step: inputs -> quotient evals.
 
-    Covers witness gen + coset-LDE + constraint folding + Merkle leaf hashing
-    with the shardings described in the module docstring.
+    Covers witness gen + coset-LDE + constraint folding with the shardings
+    described in the module docstring. With `trace_arg=True` the step takes
+    the (row-sharded) trace directly — for AIRs whose witness generation is
+    host-side/sequential (e.g. Fibonacci).
     """
     from ..commit.domain import TwoAdicMultiplicativeCoset
     from ..ops.dft import Radix2Dit
@@ -54,13 +57,14 @@ def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1):
     sels = trace_domain.selectors_on_coset(quotient_domain)
     dft = Radix2Dit(F)
     next_step = quotient_domain.size // trace_domain.size
+    public_values = [int(v) for v in public_values]
 
     col_sharded = NamedSharding(mesh, P(None, "chip"))
     row_sharded = NamedSharding(mesh, P("chip", None))
 
     def step(inputs, alpha):
         # 1. witness generation — row (instance) parallel
-        trace = air.generate_trace(inputs)
+        trace = inputs if trace_arg else air.generate_trace(inputs)
         trace = jax.lax.with_sharding_constraint(trace, row_sharded)
 
         # 2. LDE — column parallel (one all_to_all reshard)
@@ -74,10 +78,12 @@ def sharded_prove_core(mesh: Mesh, air, F, EF, log_n: int, log_blowup: int = 1):
 
         folder = ConstraintFolder(
             F, EF, alpha, num_lanes=lde_rs.shape[0],
-            num_constraints=len(get_symbolic_constraints(air, 0)),
+            num_constraints=len(get_symbolic_constraints(air, len(public_values))),
         )
         folder.set_main(lde_rs.T, jnp.roll(lde_rs, -next_step, axis=0).T, ext=False)
-        folder.public_values = []
+        folder.public_values = [
+            Expr(folder, F.from_int(pv), False) for pv in public_values
+        ]
         folder.is_first_row = Expr(folder, sels.is_first_row, False)
         folder.is_last_row = Expr(folder, sels.is_last_row, False)
         folder.is_transition = Expr(folder, sels.is_transition, False)
