@@ -35,6 +35,10 @@ START = time.perf_counter()
 TARGET_PERMS_PER_SEC = 100_000.0
 
 
+def _log(msg: str) -> None:
+    print(f"# [{time.perf_counter() - START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def _budget_left() -> float:
     return float(os.environ.get("BENCH_BUDGET_S", "480")) - (time.perf_counter() - START)
 
@@ -90,15 +94,20 @@ def _build_config(F, EF, log_n, merkle_hash):
     )
     rng = np.random.default_rng(0)
     inputs = F.from_int(rng.integers(0, F.order, size=(1 << log_n, 16), dtype=np.uint64))
+    _log(f"generating witness trace 2^{log_n}")
     trace = air.generate_trace(inputs)
     trace.block_until_ready()
+    _log("trace ready")
     return config, air, trace
 
 
 def _measure_prove(config, air, trace, iters):
     from plonky3_eon_tpu.stark import prove
 
+    _log("warmup prove (cold compile)")
+
     prove(config, air, trace, [])  # warmup: compile everything once
+    _log("warmup done; timing")
     t0 = time.perf_counter()
     for _ in range(iters):
         prove(config, air, trace, [])
@@ -122,9 +131,12 @@ def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "13"))
     field_name = os.environ.get("BENCH_FIELD", "BabyBear")
     F, EF = (BabyBear, BabyBear4) if field_name == "BabyBear" else (KoalaBear, KoalaBear4)
+    _log(f"devices: {jax.devices()}")
+    _log(f"building config 1: {field_name} 2^{log_n} poseidon-2 merkle")
     config, air, trace = _build_config(F, EF, log_n, "poseidon-2")
     elapsed = _measure_prove(config, air, trace, iters=3)
     _emit(f"poseidon2_perms_proven_per_sec_{field_name}_2^{log_n}", (1 << log_n) / elapsed)
+    _log("config 1 emitted")
 
     # ---- headline: KoalaBear 2^20, keccak-f merkle (README.md:69) --------
     if os.environ.get("BENCH_HEADLINE", "1") == "0":

@@ -147,15 +147,115 @@ def _msm_scan(points, bits):
     return acc[0]
 
 
-def msm(points, scalars) -> jnp.ndarray:
-    """sum_i scalars_i * points_i (ref: `G1::multi_exp`, `curve.rs:158`).
+def _scalars_to_ints(scalars):
+    if hasattr(scalars, "shape") and not isinstance(scalars, (list, tuple, np.ndarray)):
+        scalars = Fr.to_ints(scalars)
+    return [int(s) % Fr.order for s in np.asarray(scalars, dtype=object).reshape(-1)]
+
+
+# ---- Pippenger (windowed-bucket) MSM ---------------------------------------
+#
+# TPU formulation of halo2curves `msm_best` (ref: `curve.rs:158` ->
+# Pippenger bucket method), per SURVEY.md hard-part 3 "sort-by-window +
+# segment-sum":
+#   per window w (c bits):  digit_i = (s_i >> wc) & (2^c - 1)
+#     1. argsort points by digit -> equal digits contiguous
+#     2. SEGMENTED inclusive scan with the elliptic add as the (associative)
+#        combiner (`lax.associative_scan`, work-efficient ~2N adds, depth
+#        ~2 log N) -> each segment end holds its bucket sum
+#     3. scatter segment ends into the (2^c,) bucket array
+#     4. window_sum = sum_j j*B_j via suffix scan over buckets + tree-sum
+#   combine: result = sum_w 2^{wc} * window_sum_w (c doublings per window).
+# Work ~ nwin*(2N + 3*2^c) elliptic adds vs. the old double-and-add scan's
+# 508N — ~14x fewer at N=2^20, c=16, and every add stays lane-parallel.
+
+
+def _tree_sum(pts):
+    """Elliptic sum over axis 0 of (m, 3, 16), log-depth."""
+    m = pts.shape[0]
+    while m > 1:
+        half = m // 2
+        red = g1_add(pts[:half], pts[half : 2 * half])
+        if m % 2:
+            red = jnp.concatenate([red, pts[2 * half : m]], axis=0)
+            m = half + 1
+        else:
+            m = half
+        pts = red
+    return pts[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msm_pippenger(points, digits, c):
+    """points: (N, 3, 16); digits: (nwin, N) uint32, window 0 = least
+    significant. Returns one (3, 16) projective point."""
+    nbuckets = 1 << c
+
+    def one_window(digits_w):
+        order = jnp.argsort(digits_w)
+        d = digits_w[order]
+        pts = points[order]
+        seg_start = jnp.concatenate(
+            [jnp.ones(1, jnp.uint32), (d[1:] != d[:-1]).astype(jnp.uint32)]
+        )
+
+        def comb(a, b):
+            va, fa = a
+            vb, fb = b
+            v = jnp.where((fb != 0)[:, None, None], vb, g1_add(va, vb))
+            return v, fa | fb
+
+        vals, _ = jax.lax.associative_scan(comb, (pts, seg_start))
+        is_end = jnp.concatenate([d[:-1] != d[1:], jnp.ones(1, bool)])
+        # each bucket has exactly one segment end; non-ends go to an
+        # overflow slot which is dropped (duplicate writes land only there)
+        idx = jnp.where(is_end, d, jnp.uint32(nbuckets))
+        buckets = g1_identity((nbuckets + 1,)).at[idx].set(vals)
+        # drop overflow + bucket 0 (digit 0 contributes nothing)
+        buckets = buckets[1:nbuckets]
+        # sum_j j*B_j = sum_k S_k where S_k = sum_{j>=k} B_j (suffix sums)
+        suffix = jax.lax.associative_scan(g1_add, buckets, reverse=True)
+        return _tree_sum(suffix)
+
+    window_sums = jax.lax.map(one_window, digits)  # (nwin, 3, 16)
+
+    def step(acc, wsum):
+        for _ in range(c):
+            acc = g1_add(acc, acc)
+        return g1_add(acc, wsum), None
+
+    acc, _ = jax.lax.scan(step, g1_identity(()), window_sums[::-1])
+    return acc
+
+
+def msm(points, scalars, window_bits: int | None = None) -> jnp.ndarray:
+    """sum_i scalars_i * points_i (ref: `G1::multi_exp`, `curve.rs:158` ->
+    halo2curves Pippenger `msm_best`).
 
     points: (N, 3, 16) device array; scalars: iterable of ints (or Fr device
     array, converted via to_ints). Returns one (3, 16) projective point."""
-    if hasattr(scalars, "shape") and not isinstance(scalars, (list, tuple, np.ndarray)):
-        scalars = Fr.to_ints(scalars)
-    ints = [int(s) % Fr.order for s in np.asarray(scalars, dtype=object).reshape(-1)]
+    ints = _scalars_to_ints(scalars)
+    n = len(ints)
     nbits = Fr.order.bit_length()  # 254
+    if window_bits is None:
+        # Pippenger sweet spot ~log2 N; cap so the bucket stage (3*2^c adds)
+        # stays below the scan stage (2N adds)
+        window_bits = max(2, min(16, n.bit_length() - 1))
+    c = window_bits
+    nwin = (nbits + c - 1) // c
+    digits = np.zeros((nwin, n), dtype=np.uint32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(ints):
+        for w in range(nwin):
+            digits[w, i] = (s >> (w * c)) & mask
+    return _msm_pippenger(points, jnp.asarray(digits), c)
+
+
+def msm_scan(points, scalars) -> jnp.ndarray:
+    """Reference double-and-add MSM (kept as a differential-test oracle for
+    the Pippenger path)."""
+    ints = _scalars_to_ints(scalars)
+    nbits = Fr.order.bit_length()
     n = len(ints)
     bits = np.zeros((nbits, n), dtype=np.uint32)
     for i, s in enumerate(ints):

@@ -269,6 +269,24 @@ class SerializingChallenger64:
 
         return jnp.stack([self.sample() for _ in range(EF.D)], axis=-1)
 
+    def grind(self, bits: int) -> int:
+        """PoW witness search (ref: `grinding_challenger.rs:52-65` — the
+        reference implements GrindingChallenger for SerializingChallenger64
+        too; round-1 gap). Each candidate is tried on a transcript clone so
+        failures leave this challenger untouched."""
+        w = 0
+        while True:
+            clone_inner = HashChallenger(self.inner.hash_fn)
+            clone_inner._input = bytearray(self.inner._input)
+            clone_inner._output = bytearray(self.inner._output)
+            c = SerializingChallenger64(self.F, clone_inner)
+            c.observe_ints([w])
+            if c.sample_bits(bits) == 0:
+                self.observe_ints([w])
+                assert self.sample_bits(bits) == 0
+                return w
+            w += 1
+
     def check_witness(self, bits: int, witness_int: int) -> bool:
         self.observe_ints([witness_int])
         return self.sample_bits(bits) == 0

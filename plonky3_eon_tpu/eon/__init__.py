@@ -75,9 +75,12 @@ class _WithLookups:
         self.lookups = lookups
         self.lookup_data = lookup_data
         self.gadget = gadget
-        # global cumulative values are baked into the traced fold program
-        self.fold_cache_token = (
-            id(air),
+        # Stable identity for the fold-program cache (stark/prover.py):
+        # the wrapped air (strong ref, not id()) plus the global-lookup
+        # cumulative values, which are baked as constants into the traced
+        # program and so must bust the cache when they change.
+        self.cache_identity = (
+            air,
             tuple(bytes(np.asarray(ld.expected_cumulated)) for ld in lookup_data),
         )
 

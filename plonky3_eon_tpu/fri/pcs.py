@@ -80,13 +80,26 @@ class FriProof:
 
 
 class TwoAdicFriPcs(Pcs):
-    def __init__(self, F, EF, mmcs, challenge_mmcs, fri_config: FriConfig | None = None):
+    def __init__(self, F, EF, mmcs, challenge_mmcs, fri_config: FriConfig | None = None,
+                 zk: bool = False):
         self.F = F
         self.EF = EF
         self.mmcs = mmcs
         self.challenge_mmcs = challenge_mmcs  # used for commit-phase (EF) matrices
         self.fri = fri_config or FriConfig()
         self.dft = Radix2Dit(F)
+        # ZK (ref: `commit/src/pcs.rs:43-47` const ZK + TRACE_IDX shifting;
+        # randomization per eprint 2024/1037 §3): trace commits are
+        # randomized t_hat = t + Z_H * r over a doubled domain, and the
+        # prover adds a random extension polynomial R as opening round 0 to
+        # mask the FRI batch combination. Quotient chunks are functions of
+        # the already-randomized t_hat and are committed unrandomized (the
+        # reference additionally randomizes chunks with correlated maskers;
+        # witness-hiding here comes from t_hat + R).
+        self.ZK = bool(zk)
+        self.TRACE_IDX = 1 if zk else 0
+        self.QUOTIENT_IDX = self.TRACE_IDX + 1
+        self._rng = np.random.default_rng()
 
     # ---- domains ------------------------------------------------------
 
@@ -113,8 +126,32 @@ class TwoAdicFriPcs(Pcs):
         brev = jnp.take(lde, _brev_dev(big_n), axis=0)
         return coeffs, brev
 
+    def _randomize_item(self, domain, evals):
+        """ZK trace randomization: evals (n rows, natural subdomain of the
+        2n-sized `domain`) -> evaluations of t_hat = t + Z_H*r on `domain`,
+        where r is a uniformly random width-matched polynomial of degree <n.
+        In coefficient form Z_H = x^n - 1 gives t_hat coeffs
+        [t_c - r_c, r_c]; t_hat agrees with t on H so all constraints are
+        preserved (eprint 2024/1037 §3)."""
+        F = self.F
+        n = int(evals.shape[0])
+        assert domain.size == 2 * n and domain.shift_int == 1
+        t_c = self.dft.idft_batch(evals)
+        r_int = self._rng.integers(0, F.order, size=(n,) + tuple(evals.shape[1:]),
+                                   dtype=np.uint64)
+        r_c = F.from_int(r_int)
+        hat_c = jnp.concatenate([F.sub(t_c, r_c), r_c], axis=0)
+        return self.dft.dft_batch(hat_c)
+
     def commit(self, domains_and_evals):
         items = list(domains_and_evals)
+        if self.ZK:
+            items = [
+                (d, self._randomize_item(d, ev))
+                if d.size == 2 * int(ev.shape[0]) and d.shift_int == 1
+                else (d, ev)
+                for d, ev in items
+            ]
         # batch same-(height, shift) matrices through ONE width-concatenated
         # DFT chain (quotient chunks: 4 transforms -> 1)
         groups: dict = {}
@@ -142,6 +179,18 @@ class TwoAdicFriPcs(Pcs):
         root, mdata = self.mmcs.commit(ldes)
         pd = FriProverData(domains, coeffs, ldes, mdata, log_hs)
         return np.asarray(root), pd
+
+    def get_opt_randomization_poly_commitment(self, domain):
+        """Commit to EF.D uniformly random base columns over `domain` — the
+        random polynomial R that joins the FRI batch to mask the combined
+        polynomial (ref: `commit/src/pcs.rs:181`, `uni-stark/src/prover.rs:
+        260-275`). Returns (commitment, prover_data) or None when not ZK."""
+        if not self.ZK:
+            return None
+        F, EF = self.F, self.EF
+        r_int = self._rng.integers(0, F.order, size=(domain.size, EF.D),
+                                   dtype=np.uint64)
+        return self.commit([(domain, F.from_int(r_int))])
 
     def get_evaluations_on_domain(self, pd: FriProverData, idx: int, domain):
         """Evals on `domain` (shift g, size <= LDE size): subsample the LDE."""

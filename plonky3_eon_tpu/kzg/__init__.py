@@ -378,11 +378,17 @@ class KzgStarkPcs(KzgPcs):
 
 def poseidon2_bn254(width: int = 3):
     """Width-3 Poseidon2 over Fr (ref: `bn254/src/poseidon2.rs:26`
-    Poseidon2Bn254; internal matrix 1 + Diag(1,1,2) `:55-63`). Deterministic
-    constants; rf=8, rp=56 per the HorizenLabs BN254 instance sizing."""
+    Poseidon2Bn254; internal matrix 1 + Diag(1,1,2) `:55-63`). Round
+    constants come from the Grain-LFSR generation procedure of the
+    HorizenLabs instance scripts (hashes/grain.py) with the zkhash RC3
+    layout; rf=8, rp=56, d=5 per the zkhash BN256 instance sizing."""
     from ..hashes import Poseidon2
+    from ..hashes.grain import poseidon2_round_constants
 
+    ext, internal = poseidon2_round_constants(Fr.order, width, 8, 56)
     return Poseidon2(
         Fr, width, d=5, rounds_f=8, rounds_p=56,
+        external_constants=ext, internal_constants=internal,
         internal_diag=np.asarray([1, 1, 2][:width], dtype=object),
+        hl_mat4=True,
     )

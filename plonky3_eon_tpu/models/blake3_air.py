@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..air.air import BaseAir, xor
+from ..air.air import BaseAir, add_u32_limbs, pack_bits_to_limbs, xor, xor_32_shift
 
 BITS_PER_LIMB = 16
 U32_LIMBS = 2
@@ -77,36 +77,14 @@ class Blake3Air(BaseAir):
 
     width = NUM_BLAKE3_COLS
 
-    # ---- constraint helpers (ref: air/src/utils.rs:82-227) --------------
+    # ---- constraint helpers: the shared library gadgets of air/air.py
+    # (ref: air/src/utils.rs:82-227), thin-bound to this AIR's shapes
 
     def _add_n(self, b, out, terms):
-        """out = sum(terms) mod 2^32 over (4, 2) limb blocks
-        (ref: add2/add3 — two product checks via the CRT argument)."""
-        k = len(terms)  # 2 or 3 summands
-        two16 = 1 << 16
-        lo = lambda e: e.gather([0, 2, 4, 6], (4,))
-        hi = lambda e: e.gather([1, 3, 5, 7], (4,))
-        pack = lambda e: lo(e) + hi(e) * two16
-        acc = pack(out)
-        acc16 = lo(out)
-        for t in terms:
-            acc = acc - pack(t)
-            acc16 = acc16 - lo(t)
-        c = acc
-        c16 = acc16
-        for j in range(1, k):  # acc in {0, -2^32, ..., -(k-1)*2^32}
-            c = c * (acc + (1 << 32) * j)
-            c16 = c16 * (acc16 + two16 * j)
-        b.assert_zero_block(c)
-        b.assert_zero_block(c16)
+        add_u32_limbs(b, out, terms)
 
     def _xor_32_shift(self, b, a_limbs, bits, c_bits, shift):
-        """a = bits ^ (c << shift) as packed limbs; range checks c and a
-        (ref: xor_32_shift, utils.rs:202)."""
-        weights = b.constant_array(_W16)
-        b.assert_bool_block(c_bits)
-        x = xor(bits, c_bits.roll(shift, 1))
-        b.assert_zero_block(_pack2(x, weights) - a_limbs)
+        xor_32_shift(b, a_limbs, bits, c_bits, shift, b.constant_array(_W16))
 
     def _quarter_round(self, b, a, bb, c, d, m_even, m_odd,
                        a_p, b_p, c_p, d_p, a_o, b_o, c_o, d_o):

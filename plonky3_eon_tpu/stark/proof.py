@@ -16,6 +16,7 @@ class Commitments:
     trace: Any
     quotient_chunks: Any
     permutation: Any = None  # eon extension
+    random: Any = None  # ZK: FRI-batch randomization commitment (`proof.rs` random)
 
 
 @dataclass
@@ -27,6 +28,7 @@ class OpenedValues:
     preprocessed_next: Any = None
     permutation_local: Any = None  # eon extension
     permutation_next: Any = None
+    random: Any = None  # ZK: R(zeta) openings, EF.D base columns
 
 
 @dataclass

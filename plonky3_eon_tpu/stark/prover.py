@@ -56,14 +56,20 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
     next_step = quotient_domain.size // trace_domain.size
     has_prep = preprocessed_lde is not None
     has_perm = permutation_lde is not None
+    # Stable air identity (VERDICT r1 weak-6): key on the air object itself,
+    # held strongly by the cache, so a GC'd air's id can never be recycled by
+    # a new air with identical shapes. Wrapper airs built fresh per prove call
+    # (eon's _WithLookups) expose `cache_identity` — a tuple of the wrapped
+    # air plus whatever constants get baked into the traced program — so the
+    # compiled fold is still reused across calls.
     cache_key = (
-        id(air), F.name, EF.name, trace_lde.shape, next_step,
+        getattr(air, "cache_identity", air), F.name, EF.name,
+        trace_lde.shape, next_step,
         tuple(int(v) for v in np.asarray(public_values).reshape(-1)),
         None if not has_prep else preprocessed_lde.shape,
         None if not has_perm else permutation_lde.shape,
         # eon: global-lookup cumulative values are baked as constants into
         # the traced program — bust the cache when they change
-        getattr(air, "fold_cache_token", None),
     )
 
     def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, *opt):
@@ -128,24 +134,33 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     from ..air.symbolic import get_symbolic_constraints
     from ..utils import log2_ceil
 
+    # ZK (ref: `uni-stark/src/prover.rs:126-142,268-275`): constraint degree
+    # rises by 1 (the randomized trace has degree 2n), the trace commits on a
+    # doubled domain, and a random polynomial R is committed as round 0.
+    zk = 1 if getattr(pcs, "ZK", False) else 0
+    log_ext_degree = log_n + zk
+
     degrees = get_symbolic_constraints(air, len(public_values))
     num_constraints = len(degrees)
-    lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
+    lqd = log2_ceil(max(max(degrees, default=2) + zk - 1, 1))
     quotient_degree = 1 << lqd
 
     challenger = config.new_challenger()
     trace_domain = pcs.natural_domain_for_degree(n)
+    ext_domain = pcs.natural_domain_for_degree(n << zk) if zk else trace_domain
 
     with span("commit to trace data"):
-        trace_com, trace_data = pcs.commit([(trace_domain, trace)])
+        trace_com, trace_data = pcs.commit([(ext_domain, trace)])
 
+    if zk:
+        challenger.observe_ints([log_ext_degree])
     challenger.observe_ints([log_n])
     pcs.observe_commitment(challenger, trace_com)
     if len(public_values):
         challenger.observe(F.from_int(public_values))
     alpha = challenger.sample_ext(EF)
 
-    quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
+    quotient_domain = ext_domain.create_disjoint_domain((n << zk) * quotient_degree)
     # chunk count = size ratio (== quotient_degree for multiplicative
     # cosets; can exceed it for circle domains, whose disjoint domain is
     # always at least double so chunks keep the trace height)
@@ -164,27 +179,35 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
         q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, num_chunks)
     pcs.observe_commitment(challenger, q_com)
 
+    r_com = r_data = None
+    if zk:
+        r_com, r_data = pcs.get_opt_randomization_poly_commitment(ext_domain)
+        pcs.observe_commitment(challenger, r_com)
+
     zeta = challenger.sample_ext(EF)
     zeta_next = trace_domain.next_point_ext(EF, zeta)
 
     with span("open"):
-        opened, opening_proof = pcs.open(
-            [
-                (trace_data, [[zeta, zeta_next]]),
-                (q_data, [[zeta]] * num_chunks),
-            ],
-            challenger,
-        )
-    trace_local, trace_next = opened[0][0][0], opened[0][0][1]
-    quotient_chunks = [opened[1][i][0] for i in range(num_chunks)]
+        rounds = [
+            (trace_data, [[zeta, zeta_next]]),
+            (q_data, [[zeta]] * num_chunks),
+        ]
+        if zk:
+            rounds.insert(0, (r_data, [[zeta]]))
+        opened, opening_proof = pcs.open(rounds, challenger)
+    t_idx, q_idx = getattr(pcs, "TRACE_IDX", 0), getattr(pcs, "QUOTIENT_IDX", 1)
+    trace_local, trace_next = opened[t_idx][0][0], opened[t_idx][0][1]
+    quotient_chunks = [opened[q_idx][i][0] for i in range(num_chunks)]
 
     return Proof(
-        commitments=Commitments(trace=trace_com, quotient_chunks=q_com),
+        commitments=Commitments(trace=trace_com, quotient_chunks=q_com,
+                                random=None if r_com is None else np.asarray(r_com)),
         opened_values=OpenedValues(
             trace_local=np.asarray(trace_local),
             trace_next=np.asarray(trace_next),
             quotient_chunks=[np.asarray(c) for c in quotient_chunks],
+            random=None if not zk else np.asarray(opened[0][0][0]),
         ),
         opening_proof=opening_proof,
-        degree_bits=log_n,
+        degree_bits=log_ext_degree,
     )

@@ -95,22 +95,29 @@ def verify(config, air, proof, public_values=()):
         dtype=object,
     )
     ov = proof.opened_values
-    log_n = proof.degree_bits
+    # ZK (ref: `verifier.rs:244-262,303-325`): degree_bits counts the
+    # EXTENDED (randomized) trace degree; constraint selectors use the
+    # initial size-n domain; the random round R is replayed as round 0.
+    zk = 1 if getattr(pcs, "ZK", False) else 0
+    log_ext_degree = proof.degree_bits
+    log_n = log_ext_degree - zk
     n = 1 << log_n
+    ext_n = 1 << log_ext_degree
 
     from ..utils import log2_ceil
 
     degrees = get_symbolic_constraints(air, len(public_values))
     num_constraints = len(degrees)
-    lqd = log2_ceil(max(max(degrees, default=2) - 1, 1))
+    lqd = log2_ceil(max(max(degrees, default=2) + zk - 1, 1))
     quotient_degree = 1 << lqd
 
     trace_domain = pcs.natural_domain_for_degree(n)
-    quotient_domain = trace_domain.create_disjoint_domain(n * quotient_degree)
+    ext_domain = pcs.natural_domain_for_degree(ext_n) if zk else trace_domain
+    quotient_domain = ext_domain.create_disjoint_domain(ext_n * quotient_degree)
     num_chunks = quotient_domain.size // trace_domain.size
     chunk_domains = quotient_domain.split_domains(num_chunks)
 
-    # ---- shape checks (ref: verifier.rs:267-279) ----------------------
+    # ---- shape checks (ref: verifier.rs:258-279) ----------------------
     row_shape = (air.width, EF.D) + F.shape_suffix
     if np.asarray(ov.trace_local).shape != row_shape:
         raise VerificationError("bad trace_local shape")
@@ -121,15 +128,25 @@ def verify(config, air, proof, public_values=()):
     for c in ov.quotient_chunks:
         if np.asarray(c).shape != (EF.D, EF.D) + F.shape_suffix:
             raise VerificationError("bad quotient chunk shape")
+    if bool(zk) != (ov.random is not None) or bool(zk) != (
+        proof.commitments.random is not None
+    ):
+        raise VerificationError("random round present iff ZK")
+    if zk and np.asarray(ov.random).shape != (EF.D, EF.D) + F.shape_suffix:
+        raise VerificationError("bad random opening shape")
 
     # ---- replay transcript -------------------------------------------
     challenger = config.new_challenger()
+    if zk:
+        challenger.observe_ints([log_ext_degree])
     challenger.observe_ints([log_n])
     pcs.observe_commitment(challenger, proof.commitments.trace)
     if len(public_values):
         challenger.observe(F.from_int(public_values))
     alpha = challenger.sample_ext(EF)
     pcs.observe_commitment(challenger, proof.commitments.quotient_chunks)
+    if zk:
+        pcs.observe_commitment(challenger, proof.commitments.random)
     zeta = challenger.sample_ext(EF)
     zeta_next = trace_domain.next_point_ext(EF, zeta)
 
@@ -139,7 +156,7 @@ def verify(config, air, proof, public_values=()):
             proof.commitments.trace,
             [
                 (
-                    trace_domain,
+                    ext_domain,
                     [
                         (zeta, jnp.asarray(ov.trace_local)),
                         (zeta_next, jnp.asarray(ov.trace_next)),
@@ -155,6 +172,14 @@ def verify(config, air, proof, public_values=()):
             ],
         ),
     ]
+    if zk:
+        rounds.insert(
+            0,
+            (
+                proof.commitments.random,
+                [(ext_domain, [(zeta, jnp.asarray(ov.random))])],
+            ),
+        )
     pcs.verify(rounds, proof.opening_proof, challenger)
 
     # ---- constraint check at zeta ------------------------------------

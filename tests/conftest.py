@@ -27,3 +27,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/p3tpu_xla_cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+# ---- fast/slow tiers (VERDICT r1 item 10) ---------------------------------
+# Compile-heavy suites (BN254 CIOS programs, wide-AIR folds, KAT sweeps) can
+# take many minutes of cold XLA CPU compile on a small box. They are marked
+# `slow` and skipped unless P3TPU_RUN_SLOW=1; the default tier is the fast
+# suite that must stay green everywhere.
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("P3TPU_RUN_SLOW", "0") == "1":
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier: set P3TPU_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -13,6 +13,10 @@ from plonky3_eon_tpu.models.blake3_air import (
 )
 from plonky3_eon_tpu.stark import check_constraints, prove, verify
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 F, EF = KoalaBear, KoalaBear4
 
 

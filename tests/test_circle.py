@@ -18,6 +18,10 @@ from plonky3_eon_tpu.circle.pcs import CircleFriConfig, CirclePcs
 from plonky3_eon_tpu.fields import Mersenne31 as F
 from plonky3_eon_tpu.fields.extension import Mersenne31Cubic as EF
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 
 def test_group_structure():
     pts = domain_points(3)

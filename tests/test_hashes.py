@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 from plonky3_eon_tpu.fields import BabyBear
+pytestmark = pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 from plonky3_eon_tpu.hashes import (
     Blake3Hasher,
     KeccakF,

@@ -111,6 +111,10 @@ def test_kzg_mmcs_roundtrip(pcs):
 
 import jax.numpy as jnp  # noqa: E402
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 
 def test_bn254_kzg_uni_stark_fibonacci():
     """kzg-example parity: full uni-stark prove+verify over BN254 Fr with

@@ -11,6 +11,10 @@ from plonky3_eon_tpu.challenger import (
 from plonky3_eon_tpu.fields import BabyBear, Bn254Fr, Goldilocks
 from plonky3_eon_tpu.hashes import MultiField32PaddingFreeSponge, Poseidon2, sha256_compress
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 
 def test_multifield_sponge_packing_matches_reduce32():
     """Device packing of small elems into a BN254 lane == host reduce_32."""

@@ -9,6 +9,10 @@ from plonky3_eon_tpu.hashes import Poseidon2
 from plonky3_eon_tpu.models.poseidon2_air import Poseidon2Air, VectorizedPoseidon2Air
 from plonky3_eon_tpu.stark import check_constraints, prove, verify
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
+
 
 def test_trace_registers_consistent_with_permutation():
     """The last R registers of each sbox chain must reproduce the real
