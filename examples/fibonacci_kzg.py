@@ -64,7 +64,13 @@ def main():
     srs = make_test_srs(2 * n)
     print(f"srs setup ({2 * n} G1 powers): {time.perf_counter() - t0:.2f}s")
 
-    p2 = poseidon2_bn254(3)
+    # The reference's live instance: SmallRng::seed_from_u64(42),
+    # new_from_rng(8, 22) (`kzg-example/src/proof.rs:116-117`) — our rng
+    # reconstruction makes the constants (and hence the whole transcript)
+    # bit-identical to the reference pipeline.
+    from plonky3_eon_tpu.hashes import poseidon2_from_rng
+
+    p2 = poseidon2_from_rng(Fr, 3, rounds_f=8, rounds_p=22, seed=42)
     config = StarkConfig(
         F=Fr, EF=Fr1, pcs=KzgStarkPcs(srs),
         challenger_factory=lambda: DuplexChallenger(Fr, p2, 3, 2),

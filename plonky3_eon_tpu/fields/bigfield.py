@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .field import Field
+from .field import _trace_aware_jit, Field
 
 U32 = jnp.uint32
 DIGIT_BITS = 16
@@ -69,12 +69,12 @@ class BigPrimeField(Field):
         # lazily inside a jit trace — it would cache a tracer)
         self._half = _to_digits((p + 1) // 2 * self.R_int % p)
         # jit the composite ops once per instance
-        self.mul = jax.jit(self._mul_impl)
-        self.add = jax.jit(self._add_impl)
-        self.sub = jax.jit(self._sub_impl)
-        self.neg = jax.jit(self._neg_impl)
-        self.inv = jax.jit(self._inv_impl)
-        self.square = jax.jit(lambda a: self._mul_impl(a, a))
+        self.mul = _trace_aware_jit(self._mul_impl)
+        self.add = _trace_aware_jit(self._add_impl)
+        self.sub = _trace_aware_jit(self._sub_impl)
+        self.neg = _trace_aware_jit(self._neg_impl)
+        self.inv = _trace_aware_jit(self._inv_impl)
+        self.square = _trace_aware_jit(lambda a: self._mul_impl(a, a))
 
     # ---- host <-> device -----------------------------------------------
 

@@ -5,7 +5,8 @@ from .keccak import KeccakF, keccak256_bytes, keccak_f
 from .mds import CosetMds, Poseidon
 from .monolith import Monolith, bar31
 from .rescue import Rescue
-from .poseidon2 import Poseidon2, default_poseidon2, external_linear_layer, internal_linear_layer
+from .poseidon2 import (Poseidon2, default_poseidon2, external_linear_layer,
+                        internal_linear_layer, poseidon2_from_rng)
 from .sha256 import Sha256, Sha256Compress, sha256_compress
 from .blake3 import Blake3Compress, Blake3Hasher, blake3_bytes, blake3_compress
 from .sponge import (
@@ -28,6 +29,7 @@ __all__ = [
     "keccak256_bytes",
     "Poseidon2",
     "default_poseidon2",
+    "poseidon2_from_rng",
     "external_linear_layer",
     "internal_linear_layer",
     "Sha256",

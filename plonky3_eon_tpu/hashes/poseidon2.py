@@ -326,3 +326,66 @@ def default_poseidon2(field_name: str, width: int) -> Poseidon2:
 
     F = {"BabyBear": BabyBear, "KoalaBear": KoalaBear, "Mersenne31": Mersenne31}[field_name]
     return Poseidon2(F, width)
+
+
+# In-tree exact instance data: the BN254 width-3 internal matrix is
+# 1 + Diag([1, 1, 2]) (`bn254/src/poseidon2.rs:49-63`), and its external
+# layer uses the HorizenLabs MDS mat4 (`bn254/src/poseidon2.rs:88-104`,
+# HLMDSMat4) — for width 3 the external matrix is circ(2,1,1), which the
+# generic layer handles identically either way.
+_EXACT_DIAG = {
+    (_BN254, 3): np.array([1, 1, 2], dtype=object),
+}
+_HL_MAT4 = {_BN254: True}
+
+
+def poseidon2_from_rng(
+    F: Field,
+    width: int,
+    rounds_f: int | None = None,
+    rounds_p: int | None = None,
+    seed: int = 1,
+    rng=None,
+    internal_diag: np.ndarray | None = None,
+) -> Poseidon2:
+    """Poseidon2 with round constants drawn EXACTLY like the reference's
+    `Poseidon2::new_from_rng(_128)` from `SmallRng::seed_from_u64(seed)`
+    (`poseidon2/src/lib.rs:66-95`, `external.rs:199-211`; rand 0.9
+    Xoshiro256++ reconstructed in `utils/rng.py`).
+
+    This makes the BN254 width-3 instance bit-identical to the reference's
+    live pipeline (`kzg-example/src/proof.rs:116-117` seed 42 rounds (8,22);
+    `uni-stark/tests/fib_air.rs:114-115` seed 1 rounds (4,22)) — constants
+    from the rng, diag [1,1,2] from `bn254/src/poseidon2.rs:55-63`.
+
+    For the 31-bit fields the reference's examples also draw constants from
+    seed 1 (`examples/src/tests.rs:36,57-59`), but the internal DIAGONAL
+    vectors lived in the removed upstream crates (`p3-baby-bear` etc.) and
+    cannot be cross-checked offline — pass `internal_diag` when you have
+    them; otherwise the documented deterministic diag is used.
+
+    Pass a shared `rng` (utils.rng.SmallRng) to chain multi-instance draw
+    order (the reference threads one rng through AIR constants, perm16,
+    perm24 in sequence)."""
+    from ..utils.rng import poseidon2_constants_from_rng
+
+    key = (F.characteristic, width)
+    dd, rf, rp = _ROUNDS.get(key, (sbox_degree(F.characteristic), 8, 20))
+    rounds_f = rounds_f or rf
+    rounds_p = rounds_p or rp
+    ext, internal = poseidon2_constants_from_rng(
+        F, width, rounds_f, rounds_p, seed=seed, rng=rng
+    )
+    if internal_diag is None:
+        internal_diag = _EXACT_DIAG.get(key)
+    return Poseidon2(
+        F,
+        width,
+        d=dd,
+        rounds_f=rounds_f,
+        rounds_p=rounds_p,
+        external_constants=ext,
+        internal_constants=internal,
+        internal_diag=internal_diag,
+        hl_mat4=_HL_MAT4.get(F.characteristic, False),
+    )

@@ -75,70 +75,87 @@ def _sbox_fn(mm, d: int):
     raise ValueError(f"unsupported sbox degree {d}")
 
 
-def _permute_body(p2, mm, ma, st_rows: list) -> list:
-    """One full Poseidon2 permutation on a list of W (rows, T) lane arrays.
-    Mirrors hashes/poseidon2.py exactly (ext layer + scan bodies unrolled;
-    round constants are baked in as scalar uint32 constants)."""
+def _ext_layer(p2, ma, x: list) -> list:
+    """MDS-light external layer on a list of W (1, T) lane arrays."""
     W = p2.width
-    d = p2.d
-    sbox = _sbox_fn(mm, d)
-    ext_c = np.asarray(p2.ext_consts_np, dtype=np.uint32)  # (rounds_f, W) Monty
-    int_c = np.asarray(p2.int_consts_np, dtype=np.uint32)  # (rounds_p,)
-    diag = np.asarray(p2.diag_np, dtype=np.uint32)  # (W,)
+    out = []
+    for c in range(0, W, 4):
+        x0, x1, x2, x3 = x[c : c + 4]
+        if p2.hl_mat4:
+            t0 = ma(x0, x1)
+            t1 = ma(x2, x3)
+            t2 = ma(ma(x1, x1), t1)
+            t3 = ma(ma(x3, x3), t0)
+            t4 = ma(ma(ma(t1, t1), ma(t1, t1)), t3)
+            t5 = ma(ma(ma(t0, t0), ma(t0, t0)), t2)
+            out += [ma(t3, t5), t5, ma(t2, t4), t4]
+        else:
+            t01 = ma(x0, x1)
+            t23 = ma(x2, x3)
+            t0123 = ma(t01, t23)
+            t01123 = ma(t0123, x1)
+            t01233 = ma(t0123, x3)
+            out += [
+                ma(t01123, t01),
+                ma(t01123, ma(x2, x2)),
+                ma(t01233, t23),
+                ma(t01233, ma(x0, x0)),
+            ]
+    sums = []
+    for j in range(4):
+        s = out[j]
+        for c in range(4 + j, W, 4):
+            s = ma(s, out[c])
+        sums.append(s)
+    return [ma(out[i], sums[i % 4]) for i in range(W)]
+
+
+def _permute_body(p2, mm, ma, st_rows: list, extc_ref, intc_ref) -> list:
+    """One full Poseidon2 permutation on a list of W (1, T) lane arrays.
+
+    The round loops are `lax.fori_loop`s with round constants read from the
+    SMEM refs `extc_ref` (rounds_f, W) / `intc_ref` (rounds_p, 1): the
+    traced program holds ONE external-round body and ONE internal-round
+    body.  (Round-3 profiling: the previous fully-unrolled body cost ~15s
+    of pure Python tracing PER KERNEL — half the cold prove wall time.)"""
+    W = p2.width
+    sbox = _sbox_fn(mm, p2.d)
+    diag = np.asarray(p2.diag_np, dtype=np.uint32)  # (W,) static
     half_f = p2.rounds_f // 2
 
-    def ext_layer(x):
-        out = []
-        for c in range(0, W, 4):
-            x0, x1, x2, x3 = x[c : c + 4]
-            if p2.hl_mat4:
-                t0 = ma(x0, x1)
-                t1 = ma(x2, x3)
-                t2 = ma(ma(x1, x1), t1)
-                t3 = ma(ma(x3, x3), t0)
-                t4 = ma(ma(ma(t1, t1), ma(t1, t1)), t3)
-                t5 = ma(ma(ma(t0, t0), ma(t0, t0)), t2)
-                out += [ma(t3, t5), t5, ma(t2, t4), t4]
-            else:
-                t01 = ma(x0, x1)
-                t23 = ma(x2, x3)
-                t0123 = ma(t01, t23)
-                t01123 = ma(t0123, x1)
-                t01233 = ma(t0123, x3)
-                out += [
-                    ma(t01123, t01),
-                    ma(t01123, ma(x2, x2)),
-                    ma(t01233, t23),
-                    ma(t01233, ma(x0, x0)),
-                ]
-        sums = []
-        for j in range(4):
-            s = out[j]
-            for c in range(4 + j, W, 4):
-                s = ma(s, out[c])
-            sums.append(s)
-        return [ma(out[i], sums[i % 4]) for i in range(W)]
+    def ext_round(r, st):
+        x = [sbox(ma(st[i], extc_ref[r, i])) for i in range(W)]
+        return tuple(_ext_layer(p2, ma, x))
 
-    def ext_round(x, r):
-        x = [sbox(ma(x[i], np.uint32(ext_c[r, i]))) for i in range(W)]
-        return ext_layer(x)
-
-    def int_round(x, r):
-        x = list(x)
-        x[0] = sbox(ma(x[0], np.uint32(int_c[r])))
+    def int_round(r, st):
+        x = list(st)
+        x[0] = sbox(ma(x[0], intc_ref[r, 0]))
         s = x[0]
         for i in range(1, W):
             s = ma(s, x[i])
-        return [ma(mm(x[i], np.uint32(diag[i])), s) for i in range(W)]
+        return tuple(ma(mm(x[i], np.uint32(diag[i])), s) for i in range(W))
 
-    st = ext_layer(st_rows)
-    for r in range(half_f):
-        st = ext_round(st, r)
-    for r in range(p2.rounds_p):
-        st = int_round(st, r)
-    for r in range(half_f, p2.rounds_f):
-        st = ext_round(st, r)
-    return st
+    st = tuple(_ext_layer(p2, ma, st_rows))
+    st = jax.lax.fori_loop(0, half_f, ext_round, st)
+    st = jax.lax.fori_loop(0, p2.rounds_p, int_round, st)
+    st = jax.lax.fori_loop(half_f, p2.rounds_f, ext_round, st)
+    return list(st)
+
+
+def _const_args(p2):
+    """(ext (rounds_f, W), int (rounds_p, 1)) uint32 Montgomery operands."""
+    ext_c = np.asarray(p2.ext_consts_np, dtype=np.uint32)
+    int_c = np.asarray(p2.int_consts_np, dtype=np.uint32).reshape(-1, 1)
+    return jnp.asarray(ext_c), jnp.asarray(int_c)
+
+
+def _const_specs(p2):
+    rf, w = p2.rounds_f, p2.width
+    rp = p2.rounds_p
+    return [
+        pl.BlockSpec((rf, w), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((rp, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
 
 
 def _make_sponge_kernel(p2, L: int, rate: int, out_n: int, tile: int):
@@ -147,18 +164,18 @@ def _make_sponge_kernel(p2, L: int, rate: int, out_n: int, tile: int):
     mm, ma = _mod_ops(F.P_int, F.MU_int)
     n_full, rem = divmod(L, rate)
 
-    def kernel(mat_ref, out_ref):
+    def kernel(extc_ref, intc_ref, mat_ref, out_ref):
         # mat_ref: (L, tile); out_ref: (out_n, tile)
         st0 = tuple(jnp.zeros((1, tile), jnp.uint32) for _ in range(W))
 
         # fori_loop over full-rate absorb blocks: the compiled program holds
-        # ONE permutation body (28 unrolled rounds), not absorb_count of them
+        # ONE absorb+permute body
         def absorb(blk, st):
             st = list(st)
             base = blk * rate
             for j in range(rate):
                 st[j] = mat_ref[pl.ds(base + j, 1), :]
-            return tuple(_permute_body(p2, mm, ma, st))
+            return tuple(_permute_body(p2, mm, ma, st, extc_ref, intc_ref))
 
         st = jax.lax.fori_loop(0, n_full, absorb, st0)
         if rem:
@@ -166,7 +183,7 @@ def _make_sponge_kernel(p2, L: int, rate: int, out_n: int, tile: int):
             for j in range(rem):
                 k = n_full * rate + j
                 st[j] = mat_ref[k : k + 1, :]
-            st = _permute_body(p2, mm, ma, st)
+            st = _permute_body(p2, mm, ma, st, extc_ref, intc_ref)
         for j in range(out_n):
             out_ref[j : j + 1, :] = st[j]
 
@@ -177,17 +194,19 @@ def _make_sponge_kernel(p2, L: int, rate: int, out_n: int, tile: int):
 def _sponge_call(p2, L: int, rate: int, out_n: int, n: int, tile: int):
     kernel = _make_sponge_kernel(p2, L, rate, out_n, tile)
     grid = (n // tile,)
-    return pl.pallas_call(
+    inner = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_n, n), jnp.uint32),
         grid=grid,
-        in_specs=[
+        in_specs=_const_specs(p2) + [
             pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (out_n, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
     )
+    extc, intc = _const_args(p2)
+    return lambda matT: inner(extc, intc, matT)
 
 
 def pallas_available() -> bool:
@@ -215,23 +234,25 @@ def _permute_call(p2, n: int, tile: int):
     F = p2.F
     mm, ma = _mod_ops(F.P_int, F.MU_int)
 
-    def kernel(in_ref, out_ref):
+    def kernel(extc_ref, intc_ref, in_ref, out_ref):
         st = [in_ref[j : j + 1, :] for j in range(W)]
-        st = _permute_body(p2, mm, ma, st)
+        st = _permute_body(p2, mm, ma, st, extc_ref, intc_ref)
         for j in range(W):
             out_ref[j : j + 1, :] = st[j]
 
-    return pl.pallas_call(
+    inner = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W, n), jnp.uint32),
         grid=(n // tile,),
-        in_specs=[
+        in_specs=_const_specs(p2) + [
             pl.BlockSpec((W, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (W, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
     )
+    extc, intc = _const_args(p2)
+    return lambda stT: inner(extc, intc, stT)
 
 
 def permute_T(p2, stT, tile: int = 512):

@@ -22,6 +22,11 @@ from plonky3_eon_tpu.hashes import (
 from plonky3_eon_tpu.models.fibonacci import FibonacciAir, generate_fibonacci_trace
 from plonky3_eon_tpu.stark import StarkConfig, VerificationError, prove, verify
 
+# The full Goldilocks FRI+keccak prove program is one of the largest XLA
+# programs in the suite (64-bit arithmetic emulated on u32 pairs inlines
+# ~5x more primitives per field op than monty-31): slow tier.
+pytestmark = pytest.mark.slow
+
 F, EF = Goldilocks, Goldilocks2
 
 
