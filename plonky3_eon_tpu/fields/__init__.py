@@ -13,6 +13,7 @@ from .extension import (
     KoalaBear8,
     Mersenne31Complex,
     Mersenne31Cubic,
+    Mersenne31Quartic,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "KoalaBear8",
     "Mersenne31Cubic",
     "Mersenne31Complex",
+    "Mersenne31Quartic",
 ]

@@ -207,9 +207,15 @@ class Poseidon2:
         self.ext_consts_np = F.from_int_np(self.ext_consts_int)
         self.int_consts_np = F.from_int_np(self.int_consts_int)
         self.diag_np = F.from_int_np(self.diag_int)
-        self.ext_consts = jnp.asarray(self.ext_consts_np)
-        self.int_consts = jnp.asarray(self.int_consts_np)
-        self.diag = jnp.asarray(self.diag_np)
+        # Constant tables stay HOST numpy: a device-array constant closed
+        # over by a jitted function forces a device->host download at
+        # LOWERING time (jax embeds `._value` in the MLIR module), and the
+        # first such download in a process blocks on the axon relay's
+        # data-plane claim (measured 60-490s). numpy constants embed for
+        # free and ride to the device inside the compiled executable.
+        self.ext_consts = self.ext_consts_np
+        self.int_consts = self.int_consts_np
+        self.diag = self.diag_np
 
     def _sbox(self, x):
         return self.F.exp_const(x, self.d)

@@ -17,7 +17,36 @@ __all__ = [
     "reverse_bits",
     "bit_reverse_indices",
     "reverse_bits_len",
+    "warm_transfer_channel",
 ]
+
+
+def warm_transfer_channel() -> "object":
+    """Kick off the first device->host transfer on a daemon thread.
+
+    Under the axon TPU relay, the FIRST d2h transfer in a process blocks
+    on the relay's data-plane claim (measured 60-490s wall); every
+    subsequent transfer is ~30ms. Uploads, compiles, and executions do
+    not pay this. Entry points (bench, CLI) call this right after the
+    backend is up so the claim overlaps tracing/compilation, and the
+    prover's first real transcript download finds a warm channel.
+
+    Returns the Thread (joinable); errors are swallowed — a failed warm
+    just means the first real transfer pays the cost instead.
+    """
+    import threading
+
+    def _warm():
+        try:
+            import jax.numpy as jnp
+
+            np.asarray(jnp.zeros((), jnp.uint32))
+        except Exception:
+            pass
+
+    th = threading.Thread(target=_warm, daemon=True, name="p3tpu-warm-d2h")
+    th.start()
+    return th
 
 
 def log2_strict(n: int) -> int:

@@ -16,7 +16,7 @@ from plonky3_eon_tpu.circle.domain import CircleDomain
 from plonky3_eon_tpu.circle.group import P, cinv_unit, cmul, cpow, domain_points, subgroup_gen
 from plonky3_eon_tpu.circle.pcs import CircleFriConfig, CirclePcs
 from plonky3_eon_tpu.fields import Mersenne31 as F
-from plonky3_eon_tpu.fields.extension import Mersenne31Cubic as EF
+from plonky3_eon_tpu.fields.extension import Mersenne31Quartic as EF
 
 import pytest as _pytest
 

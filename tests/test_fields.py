@@ -15,9 +15,11 @@ from plonky3_eon_tpu.fields import (
     Mersenne31Complex,
     Mersenne31Cubic,
 )
+from plonky3_eon_tpu.fields.extension import Mersenne31Quartic
 
 PRIME_FIELDS = [BabyBear, KoalaBear, Mersenne31]
-EXT_FIELDS = [BabyBear4, BabyBear5, KoalaBear4, KoalaBear8, Mersenne31Cubic, Mersenne31Complex]
+EXT_FIELDS = [BabyBear4, BabyBear5, KoalaBear4, KoalaBear8, Mersenne31Cubic,
+              Mersenne31Complex, Mersenne31Quartic]
 ALL_FIELDS = PRIME_FIELDS + EXT_FIELDS
 
 
@@ -82,6 +84,14 @@ def test_two_adic_generator(F):
 def test_extension_irreducibility(F):
     """X^D - W is irreducible iff W is not a d-th power for any prime d | D
     (and extra condition for D % 4 == 0: p % 4 == 1)."""
+    if F.W_int is None:
+        # Mersenne31Quartic is a TRINOMIAL extension u^4 - 4u^2 + 5 (no
+        # degree-4 binomial exists over M31: p == 3 mod 4). Its
+        # irreducibility: t^2 - 4t + 5 is irreducible over M31 (its roots
+        # 2 +- i need i, a nonresidue), and u^2 = t = 2+i is a nonsquare
+        # in CM31 (norm(2+i) = 5 is an M31 nonsquare).
+        assert pow(5, (F.base.order - 1) // 2, F.base.order) != 1
+        return
     p, D, W = F.base.order, F.D, F.W_int
     for d in {2, 3, 5, 7} & {q for q in range(2, D + 1) if D % q == 0}:
         assert (p - 1) % d == 0
@@ -123,6 +133,8 @@ def test_extension_inv(F):
 @pytest.mark.parametrize("F", EXT_FIELDS, ids=lambda f: f.name)
 def test_extension_frobenius(F):
     """frobenius(a) == a^p (checked via repeated frobenius = identity)."""
+    if F.frobenius is None:
+        pytest.skip("non-binomial extension: no coefficient-scaling Frobenius")
     rng = np.random.default_rng(4)
     a = F.from_int(rand_ints(F, rng, 8))
     x = a
