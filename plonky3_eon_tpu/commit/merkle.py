@@ -44,9 +44,13 @@ class MerkleTreeMmcs:
     where rows exist, compress(level, hash(rows)).
     """
 
-    def __init__(self, hasher, compressor):
+    def __init__(self, hasher, compressor, mesh=None):
         self.hasher = hasher
         self.compressor = compressor
+        #: optional jax.sharding.Mesh: leaf matrices are placed row-sharded
+        #: so leaf hashing + the lower tree levels run data-parallel under
+        #: GSPMD (the top log2(#chips) levels gather — tiny)
+        self.mesh = mesh
         #: whole-tree programs compiled per matrix-shape signature — the
         #: level-by-level build is ~log2(h) kernel dispatches otherwise,
         #: and dispatch latency dominates over a TPU tunnel
@@ -89,6 +93,15 @@ class MerkleTreeMmcs:
         heights = [int(m.shape[0]) for m in matrices]
         for h in heights:
             log2_strict(h)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = len(self.mesh.devices)
+            row_sharded = NamedSharding(self.mesh, P("chip", None))
+            matrices = [
+                jax.device_put(m, row_sharded) if int(m.shape[0]) >= n_dev else m
+                for m in matrices
+            ]
         key = tuple(tuple(int(d) for d in m.shape) for m in matrices)
         fn = self._commit_cache.get(key)
         if fn is None:

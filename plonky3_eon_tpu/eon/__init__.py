@@ -211,7 +211,7 @@ def prove_batch(config, instances, gadget=None, check_witness: bool = False):
             eon_air, F, EF, trace_domain, quotient_domain, trace_lde, pvs,
             alpha, permutation_lde=perm_lde,
             permutation_challenges=jnp.stack(chs),
-            num_constraints=num_constraints,
+            num_constraints=num_constraints, mesh=getattr(pcs, "mesh", None),
         )
         q_flat = q_vals.reshape(quotient_domain.size, EF.D)
         q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, quotient_degree)

@@ -81,13 +81,24 @@ class FriProof:
 
 class TwoAdicFriPcs(Pcs):
     def __init__(self, F, EF, mmcs, challenge_mmcs, fri_config: FriConfig | None = None,
-                 zk: bool = False):
+                 zk: bool = False, mesh=None):
         self.F = F
         self.EF = EF
         self.mmcs = mmcs
         self.challenge_mmcs = challenge_mmcs  # used for commit-phase (EF) matrices
         self.fri = fri_config or FriConfig()
         self.dft = Radix2Dit(F)
+        # Multi-chip mesh (SURVEY.md §5.8 TPU-native equivalent): when set,
+        # LDE inputs are placed column-sharded (column-independent DFTs,
+        # zero communication) and LDE outputs/Merkle leaves row-sharded
+        # (one all_to_all reshard over ICI); jitted stages compile under
+        # GSPMD from the argument shardings. Modular u32 arithmetic is
+        # exact, so the sharded prove produces byte-identical proofs.
+        self.mesh = mesh
+        if mesh is not None:
+            self.mmcs.mesh = mesh
+            inner = getattr(self.challenge_mmcs, "inner", self.challenge_mmcs)
+            inner.mesh = mesh
         # ZK (ref: `commit/src/pcs.rs:43-47` const ZK + TRACE_IDX shifting;
         # randomization per eprint 2024/1037 §3): trace commits are
         # randomized t_hat = t + Z_H * r over a doubled domain, and the
@@ -115,6 +126,12 @@ class TwoAdicFriPcs(Pcs):
         p = F.order
         n = domain.size
         big_n = n << self.fri.log_blowup
+        if self.mesh is not None and int(evals.shape[1]) >= len(self.mesh.devices):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            evals = jax.device_put(
+                evals, NamedSharding(self.mesh, P(None, "chip"))
+            )
         if domain.shift_int == 1:
             coeffs = self.dft.idft_batch(evals)
         else:

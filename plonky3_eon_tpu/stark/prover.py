@@ -40,7 +40,7 @@ _FOLD_CACHE: dict = {}
 
 def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public_values,
                     alpha, preprocessed_lde=None, permutation_lde=None,
-                    permutation_challenges=None, num_constraints=None):
+                    permutation_challenges=None, num_constraints=None, mesh=None):
     """Evaluate sum_j alpha^j C_j(x) * Z_H(x)^-1 over the quotient domain.
 
     Returns an EF matrix (N, D). Traced+compiled once per
@@ -103,6 +103,19 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
         air.eval(folder)
         acc = folder.folded()  # (N, D)
         return EF.mul_base(acc, inv_vanishing)
+
+    if mesh is not None:
+        # rows sharded: constraints mix all columns of one row, so the fold
+        # is pure data parallelism over rows (the `next`-row roll becomes a
+        # GSPMD collective-permute of the boundary rows)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row_sharded = NamedSharding(mesh, P("chip", None))
+        trace_lde = jax.device_put(trace_lde, row_sharded)
+        if preprocessed_lde is not None:
+            preprocessed_lde = jax.device_put(preprocessed_lde, row_sharded)
+        if permutation_lde is not None:
+            permutation_lde = jax.device_put(permutation_lde, row_sharded)
 
     fn = _FOLD_CACHE.get(cache_key)
     if fn is None:
@@ -170,7 +183,7 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     with span("compute quotient polynomial"):
         q_vals = quotient_values(
             air, F, EF, trace_domain, quotient_domain, trace_lde, public_values, alpha,
-            num_constraints=num_constraints,
+            num_constraints=num_constraints, mesh=getattr(pcs, "mesh", None),
         )
         # EF -> D base columns (keeping any base limb suffix)
     q_flat = q_vals.reshape((quotient_domain.size, EF.D) + F.shape_suffix)
