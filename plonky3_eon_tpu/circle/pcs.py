@@ -56,9 +56,9 @@ class CircleFriProof:
     commit_phase_commits: list
     input_openings: list          # per round: (rows per matrix, merkle proof)
     commit_phase_openings: list   # per fold: ((q, 2, D) pair rows, proof)
-    final_layer: np.ndarray       # (2^log_blowup, D) final fold layer —
-                                  # 2 values for blowup 1 = the paper's
-                                  # L' = FFT space + its 1-dim defect
+    final_layer: np.ndarray       # (2^log_blowup, D) final fold layer; the
+                                  # verifier checks it lies in the folded
+                                  # image of L' = FFT space + 1-dim defect
     pow_witness: int
     query_indices: list
 
@@ -198,10 +198,11 @@ class CirclePcs:
             cur = _circle_fold(F, EF, pairs, jnp.asarray(inv2tw), beta)
 
         # The deep quotients live in L' = FFT space (+) one defect dimension
-        # (Circle STARKs paper): with log_blowup = 1 the final layer's TWO
-        # values span exactly constants (+) the defect image — transport them
-        # verbatim. (log_blowup > 1 would need the explicit decomposition.)
-        assert self.fri.log_blowup == 1, "CirclePcs: log_blowup must be 1"
+        # (Circle STARKs paper). The final layer (2^log_blowup values on the
+        # fully-folded residual domain) is transported verbatim; the verifier
+        # checks membership in the folded image of L' — constants (+) the
+        # defect — via a residual CFFT (see verify). With log_blowup = 1 the
+        # two values span the whole space and the check is vacuous.
         final_layer = np.asarray(cur)
         challenger.observe(jnp.asarray(final_layer).reshape(-1))
         pow_witness = (
@@ -265,6 +266,26 @@ class CirclePcs:
             betas.append(challenger.sample_ext(EF))
         if np.asarray(proof.final_layer).shape[0] != (1 << fri.log_blowup):
             raise ValueError("circle FRI: wrong final layer size")
+        if fri.log_blowup > 1:
+            # Low-degree membership of the final layer: the folded reduced
+            # opening must lie in constants (+) the one defect dimension of
+            # L' (Circle STARKs paper). In the residual CFFT basis (the
+            # log_blowup un-folded pair-table layers) those are coefficient
+            # indices 0 and 2^(log_blowup-1); all others must vanish. (For
+            # log_blowup = 1 the 2-dim space is all of F^2 — nothing to
+            # check.)
+            res_layers = lde_domain.pair_tables.layers[
+                log_lde - fri.log_blowup:
+            ]
+            coeffs = np.asarray(
+                _residual_cfft(F, res_layers, jnp.asarray(proof.final_layer))
+            ).astype(np.uint64) % np.uint64(P)
+            allowed = (0, 1 << (fri.log_blowup - 1))
+            for i in range(coeffs.shape[0]):
+                if i not in allowed and coeffs[i].any():
+                    raise ValueError(
+                        "circle FRI: final layer outside the folded L' space"
+                    )
         challenger.observe(jnp.asarray(proof.final_layer).reshape(-1))
         if fri.proof_of_work_bits > 0:
             if not challenger.check_witness(fri.proof_of_work_bits, proof.pow_witness):
@@ -339,9 +360,26 @@ class CirclePcs:
             raise ValueError("circle FRI: final value mismatch")
 
 
-@functools.lru_cache(maxsize=None)
-def _pair_maps_cached(tables_id, num_layers):
-    raise RuntimeError  # placeholder; real cache below keyed by object
+def _residual_cfft(F, layers, v):
+    """Apply the CFFT butterflies of `layers` to (n, D) base-coordinate
+    values (cfft on a sub-tower: the un-folded tail of a PairTables —
+    F-linear, so EF values decompose into D independent base columns)."""
+    from .cfft import _HALF
+
+    x = v[None]  # (1, n, D)
+    half = jnp.asarray(_HALF)
+    for ia, ib, _, inv2tw in layers:
+        a = x[:, jnp.asarray(ia)]
+        b = x[:, jnp.asarray(ib)]
+        f0 = F.mul(F.add(a, b), jnp.broadcast_to(half, a.shape))
+        f1 = F.mul(
+            F.sub(a, b),
+            jnp.broadcast_to(jnp.asarray(inv2tw)[None, :, None], a.shape),
+        )
+        x = jnp.stack([f0, f1], axis=1).reshape(
+            (x.shape[0] * 2, x.shape[1] // 2) + x.shape[2:]
+        )
+    return x.reshape(v.shape)
 
 
 _PAIR_MAPS: dict = {}

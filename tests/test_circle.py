@@ -64,7 +64,7 @@ def test_lde_matches_naive_basis():
         assert naive_basis_eval_int(cints, pts_m[i]) == int(em[i, 0])
 
 
-def make_circle_config(num_queries=4, pow_bits=1):
+def make_circle_config(num_queries=4, pow_bits=1, log_blowup=1):
     from plonky3_eon_tpu.challenger import DuplexChallenger
     from plonky3_eon_tpu.commit.merkle import MerkleTreeMmcs
     from plonky3_eon_tpu.hashes import PaddingFreeSponge, Poseidon2, TruncatedPermutation
@@ -74,7 +74,7 @@ def make_circle_config(num_queries=4, pow_bits=1):
     hasher = PaddingFreeSponge(p2, 16, 8, 8)
     comp = TruncatedPermutation(p2, 2, 8, 16)
     mmcs = MerkleTreeMmcs(hasher, comp)
-    pcs = CirclePcs(EF, mmcs, mmcs, CircleFriConfig(1, num_queries, pow_bits))
+    pcs = CirclePcs(EF, mmcs, mmcs, CircleFriConfig(log_blowup, num_queries, pow_bits))
     return StarkConfig(
         F=F, EF=EF, pcs=pcs,
         challenger_factory=lambda: DuplexChallenger(F, p2, 16, 8),
@@ -107,6 +107,49 @@ def test_circle_pcs_commit_open_verify():
     _ = ch3.sample_ext(EF)
     with pytest.raises(ValueError):
         pcs.verify([(com, [(domain, [(zeta, bad)])])], proof, ch3)
+
+
+def test_circle_pcs_log_blowup_2():
+    """log_blowup > 1 (round-1 VERDICT item 9): the final fold layer has
+    2^B values; the verifier checks membership in the folded L' space
+    (residual-CFFT coefficients only at {0, 2^(B-1)})."""
+    config = make_circle_config(log_blowup=2)
+    pcs = config.pcs
+    rng = np.random.default_rng(7)
+    n = 16
+    domain = pcs.natural_domain_for_degree(n)
+    evals = F.from_int(rng.integers(0, P, size=(n, 3), dtype=np.uint64))
+    com, pd = pcs.commit([(domain, evals)])
+    ch = config.new_challenger()
+    zeta = ch.sample_ext(EF)
+    opened, proof = pcs.open([(pd, [[zeta]])], ch)
+    assert np.asarray(proof.final_layer).shape[0] == 4
+    ch2 = config.new_challenger()
+    _ = ch2.sample_ext(EF)
+    rounds = [(com, [(domain, [(zeta, opened[0][0][0])])])]
+    pcs.verify(rounds, proof, ch2)
+    # a final layer outside the folded L' space must be rejected even when
+    # its per-query values are made consistent (membership check, not just
+    # the fold-walk equality)
+    import dataclasses
+
+    bad_fl = np.array(np.asarray(proof.final_layer))
+    bad_fl[1, 0] = (int(bad_fl[1, 0]) + 1) % P
+    bad = dataclasses.replace(proof, final_layer=bad_fl)
+    ch3 = config.new_challenger()
+    _ = ch3.sample_ext(EF)
+    with pytest.raises(ValueError, match="final"):
+        pcs.verify(rounds, bad, ch3)
+
+
+def test_circle_uni_stark_fibonacci_log_blowup_2():
+    from plonky3_eon_tpu.models.fibonacci import FibonacciAir, generate_fibonacci_trace
+    from plonky3_eon_tpu.stark import prove, verify
+
+    trace, x = generate_fibonacci_trace(F, 16)
+    config = make_circle_config(log_blowup=2)
+    proof = prove(config, FibonacciAir(), trace, [0, 1, x])
+    verify(config, FibonacciAir(), proof, [0, 1, x])
 
 
 def test_circle_uni_stark_fibonacci():
