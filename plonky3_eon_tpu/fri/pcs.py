@@ -251,19 +251,30 @@ class TwoAdicFriPcs(Pcs):
                 flat_sig.append(
                     (int(cf.shape[0]), int(cf.shape[1]), tuple(pt_ids))
                 )
-        all_vals = _claimed_evals_batch(
+        all_vals, packed_vals = _claimed_evals_batch(
             F, EF, tuple(flat_sig), tuple(flat_coeffs), jnp.stack(zs)
         )
+        # ONE download of every claimed value (per-array downloads cost a
+        # tunnel round trip each); device copies stay alive for step 3
+        packed_np = np.asarray(packed_vals)
+        host_vals, off = [], 0
+        for v in all_vals:
+            w = int(np.prod(v.shape, dtype=np.int64))
+            host_vals.append(packed_np[off : off + w].reshape(v.shape))
+            off += w
         vi = 0
         m_flat = 0
+        opened_dev = []
         for pd, points_per_matrix in rounds:
-            round_vals = []
+            round_vals, round_vals_dev = [], []
             for cf, points in zip(pd.coeffs, points_per_matrix):
                 npts = len(flat_sig[m_flat][2])
-                round_vals.append([all_vals[vi + k] for k in range(npts)])
+                round_vals.append([host_vals[vi + k] for k in range(npts)])
+                round_vals_dev.append([all_vals[vi + k] for k in range(npts)])
                 vi += npts
                 m_flat += 1
             opened.append(round_vals)
+            opened_dev.append(round_vals_dev)
 
         # 2. bind claimed evals, sample the batch-RLC alpha
         for rv in opened:
@@ -280,7 +291,7 @@ class TwoAdicFriPcs(Pcs):
         #    The whole phase is one jitted program per shape signature.
         sp = span("fri: reduced openings"); sp.__enter__()
         ro_sig, ro_ldes, ro_vals, ro_zids = [], [], [], []
-        for (pd, points_per_matrix), round_vals in zip(rounds, opened):
+        for (pd, points_per_matrix), round_vals in zip(rounds, opened_dev):
             for m_idx, (cf, points) in enumerate(zip(pd.coeffs, points_per_matrix)):
                 lde_brev = pd.ldes_brev[m_idx]
                 pt_ids = tuple(z_ids[id(z)] for z in points)
@@ -314,7 +325,10 @@ class TwoAdicFriPcs(Pcs):
             self, F, EF, challenger, ro_by_height, log_max, log_final
         )
         if dev is not None:
-            commits, fold_data, cur = dev
+            # fold rounds + final poly + PoW grind + query sampling all ran
+            # in ONE device program (transcript emulated on device)
+            commits, fold_data, cur, final_poly, pow_witness, query_indices = dev
+            sp.__exit__(None, None, None)
         else:
             while log_h > log_final:
                 half = 1 << (log_h - 1)
@@ -331,23 +345,23 @@ class TwoAdicFriPcs(Pcs):
                 if log_h in ro_by_height:
                     cur = EF.add(cur, ro_by_height[log_h])
 
-        sp.__exit__(None, None, None)
-        sp = span("fri: final+grind"); sp.__enter__()
-        # 5. final polynomial (coeffs on the reinterpreted coset g*H) + PoW
-        final_poly = _final_poly_coeffs(
-            F, EF, cur, log_final, self.fri.log_final_poly_len
-        )
-        challenger.observe(jnp.asarray(final_poly).reshape(-1))
-        pow_witness = (
-            challenger.grind(self.fri.proof_of_work_bits)
-            if self.fri.proof_of_work_bits > 0
-            else 0
-        )
-        query_indices = [
-            challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
-        ]
+            sp.__exit__(None, None, None)
+            sp = span("fri: final+grind"); sp.__enter__()
+            # 5. final polynomial (coeffs on the reinterpreted coset g*H) + PoW
+            final_poly = _final_poly_coeffs(
+                F, EF, cur, log_final, self.fri.log_final_poly_len
+            )
+            challenger.observe(jnp.asarray(final_poly).reshape(-1))
+            pow_witness = (
+                challenger.grind(self.fri.proof_of_work_bits)
+                if self.fri.proof_of_work_bits > 0
+                else 0
+            )
+            query_indices = [
+                challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
+            ]
+            sp.__exit__(None, None, None)
 
-        sp.__exit__(None, None, None)
         sp = span("fri: query openings"); sp.__enter__()
         # 6. query openings (vectorized across queries). All gathers are
         # dispatched async; results are packed into ONE (q, total) device
@@ -587,23 +601,156 @@ _REDUCED_OPENINGS_CACHE: dict = {}
 _FOLD_PHASE_CACHE: dict = {}
 
 
-def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final):
-    """Run ALL fold rounds in one device program, emulating the duplex
-    challenger on-device (absorb root -> permute -> squeeze beta), so the
-    whole phase costs ONE dispatch + ONE small download instead of a host
-    round trip per round (~31ms each over a TPU tunnel).
+class _DevDuplex:
+    """Traced emulation of the host DuplexChallenger on Montgomery lanes.
 
-    Returns (commits, fold_data, cur) or None when the transcript shape
-    doesn't fit the fast path (non-Poseidon2 challenger, pending inputs,
-    big field) — callers fall back to the host-sequenced loop.
+    Used INSIDE jitted programs to keep the transcript on device across a
+    whole prover phase (fold rounds + final poly + grind + query sampling)
+    — one dispatch + one small download instead of a host round trip per
+    transcript interaction. Pending-input/output bookkeeping is host-side
+    Python (element COUNTS are static); only values are traced.
+
+    Equivalence: device permute on Montgomery lanes == host permute on
+    canonical ints (the permutation commutes with the Montgomery bijection
+    per-element), absorb overwrites state[:k] like `_duplex`, and `sample`
+    pops state[rate-1], state[rate-2], ... like the host `_output.pop()`.
+    """
+
+    def __init__(self, perm, state, rate):
+        self.perm = perm
+        self.rate = rate
+        self.st = state  # (W,) Montgomery
+        self.pending: list = []  # traced Montgomery scalars
+        self.n_out = 0  # available outputs (pop from state[n_out-1])
+
+    def _duplex(self):
+        st = self.st
+        for i, v in enumerate(self.pending):
+            st = st.at[i].set(v)
+        self.pending = []
+        self.st = self.perm.permute(st[None])[0]
+        self.n_out = self.rate
+
+    def observe_vec(self, v, n: int):
+        """Absorb v[0..n) (Montgomery traced vector, n static). Runs of
+        full rate-sized blocks absorb under ONE lax.scan — the compiled
+        program contains one duplex body for the whole run instead of
+        n/rate inlined permutations (compile-time, not run-time, cost)."""
+        self.n_out = 0
+        i = 0
+        # fill any pending partial block element-wise first
+        while self.pending and i < n:
+            self.pending.append(v[i])
+            i += 1
+            if len(self.pending) == self.rate:
+                self._duplex()
+        full = (n - i) // self.rate
+        if full >= 2:
+            chunks = v[i : i + full * self.rate].reshape(full, self.rate)
+
+            def step(st, ch):
+                st = jax.lax.dynamic_update_slice(st, ch, (0,))
+                return self.perm.permute(st[None])[0], None
+
+            self.st, _ = jax.lax.scan(step, self.st, chunks)
+            self.n_out = self.rate
+            i += full * self.rate
+        for j in range(i, n):
+            self.pending.append(v[j])
+            if len(self.pending) == self.rate:
+                self._duplex()
+
+    def sample(self):
+        """One Montgomery scalar, matching host `sample_int` order."""
+        if self.pending or self.n_out == 0:
+            self._duplex()
+        self.n_out -= 1
+        return self.st[self.n_out]
+
+    def sample_many(self, k: int):
+        """k Montgomery scalars in host `sample_int` order; the clean
+        full-squeeze duplexes run under ONE lax.scan."""
+        outs = []
+        while k > 0 and (self.pending or self.n_out > 0):
+            outs.append(self.sample())
+            k -= 1
+        if k == 0:
+            return outs
+        m = (k + self.rate - 1) // self.rate
+
+        def step(st, _):
+            st2 = self.perm.permute(st[None])[0]
+            return st2, st2[: self.rate]
+
+        self.st, ys = jax.lax.scan(step, self.st, None, length=m)
+        vals = ys[:, ::-1].reshape(-1)  # pop-from-end order per block
+        outs.extend(vals[i] for i in range(k))
+        self.n_out = m * self.rate - k
+        return outs
+
+
+def _device_grind(F, duplex: _DevDuplex, bits: int, batch: int | None = None):
+    """PoW witness search inside a traced program (ref:
+    `grinding_challenger.rs`; host fallback: DuplexChallenger.grind).
+    Finds the smallest canonical w such that absorbing w and sampling
+    yields low `bits` zero, using device-wide batches under a while_loop.
+    Absorbs the witness into `duplex` and returns it (traced uint32)."""
+    if batch is None:
+        # big batches amortize nothing on the CPU backend (tests) and
+        # cover ~2 expected hits at 16 bits on TPU
+        if jax.default_backend() == "cpu":
+            batch = min(max(1 << (bits + 1), 1 << 10), 1 << 14)
+        else:
+            batch = 1 << 17
+    perm, rate = duplex.perm, duplex.rate
+    k = len(duplex.pending)
+    base = duplex.st
+    for i, v in enumerate(duplex.pending):
+        base = base.at[i].set(v)
+    mask = jnp.uint32((1 << bits) - 1)
+
+    def cond(carry):
+        _, found, _ = carry
+        return ~found
+
+    def body(carry):
+        start, _, _ = carry
+        cands = start + jnp.arange(batch, dtype=jnp.uint32)
+        states = jnp.broadcast_to(base, (batch,) + base.shape)
+        states = states.at[:, k].set(F.from_canonical(cands))
+        out = perm.permute(states)
+        ok = (F.to_canonical(out[:, rate - 1]) & mask) == 0
+        idx = jnp.argmax(ok)
+        return (start + jnp.uint32(batch), ok[idx], cands[idx])
+
+    _, _, w = jax.lax.while_loop(
+        cond, body, (jnp.uint32(0), jnp.bool_(False), jnp.uint32(0))
+    )
+    duplex.observe_vec(F.from_canonical(w)[None], 1)
+    s = duplex.sample()  # the check sample (host asserts the low bits)
+    return w, s
+
+
+def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final):
+    """Run the whole FRI tail in one device program: all fold rounds, the
+    final-polynomial iDFT, the PoW grind, and query-index sampling, with
+    the duplex challenger emulated on-device — ONE dispatch + ONE small
+    download instead of a host round trip per transcript interaction
+    (~31ms each over a TPU tunnel) and instead of the host-sequential
+    grind (~65k host permutes for 16-bit PoW = ~750ms on one core).
+
+    Returns (commits, fold_data, cur, final_poly, pow_witness,
+    query_indices) or None when the transcript shape doesn't fit the fast
+    path (non-Poseidon2 challenger, pending inputs, big field) — callers
+    fall back to the host-sequenced loop.
 
     Transcript-equivalence argument: at entry the challenger has no pending
     inputs (sampling flushes them), so each round is exactly
     observe(8-elem root) == one duplex overwrite of state[:RATE], then
-    sample_ext pops output[RATE-1-j] for j in 0..D-1. The device program
-    replays precisely that on the Montgomery form (device permute on
-    Montgomery lanes == host permute on canonical ints), and the host
-    challenger state is reseeded from the downloaded final state.
+    sample_ext pops output[RATE-1-j] for j in 0..D-1; the final-poly
+    observe / grind / query sampling replay the host logic element-for-
+    element (see _DevDuplex). The host challenger state is reseeded from
+    the downloaded final state.
     """
     from ..challenger import DuplexChallenger
     from ..hashes.poseidon2 import Poseidon2
@@ -629,19 +776,70 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
         mmcs = mmcs.inner
     if not isinstance(mmcs, MerkleTreeMmcs):
         return None
+    fri = pcs.fri
+    log_len = fri.log_final_poly_len
+    pow_bits = fri.proof_of_work_bits
+    nq = fri.num_queries
     heights = tuple(sorted(ro_by_height, reverse=True))
-    key = (F.name, EF.name, id(perm), id(mmcs), heights, log_max, log_final)
+    key = (F.name, EF.name, id(perm), id(mmcs), heights, log_max, log_final,
+           log_len, pow_bits, nq)
     fn = _FOLD_PHASE_CACHE.get(key)
     rate, D = challenger.rate, EF.D
     num_rounds = log_max - log_final
+    n_fp = (1 << log_len) * D  # final-poly base elements observed
+
+    # host-side replay of the pending/output-counter bookkeeping (all
+    # element counts are static) to know how many leftover outputs the
+    # reseeded host challenger holds at the end
+    class _Ctr:
+        p = n = 0
+
+        def observe(self, k):
+            self.n = 0
+            for _ in range(k):
+                self.p += 1
+                if self.p == rate:
+                    self.p, self.n = 0, rate
+
+        def sample(self):
+            if self.p or self.n == 0:
+                self.p, self.n = 0, rate
+            self.n -= 1
+
+    ctr = _Ctr()
+    for _ in range(num_rounds):
+        ctr.observe(rate)
+        for _ in range(D):
+            ctr.sample()
+    ctr.observe(n_fp)
+    if pow_bits > 0:
+        ctr.observe(1)
+        ctr.sample()
+    for _ in range(nq):
+        ctr.sample()
+    n_out_final = ctr.n
 
     if fn is None:
+
+        def final_poly_dev(cur):
+            """cur: (2^log_final, D) bit-reversed evals on g*H_final ->
+            (2^log_len, D) Montgomery coefficient rows (traced inline;
+            mirrors the host `_final_poly_coeffs`)."""
+            n_fin = cur.shape[0]
+            if n_fin == 1:
+                return cur
+            p = F.order
+            nat = jnp.take(cur, jnp.asarray(bit_reverse_indices(n_fin)), axis=0)
+            inv_s = pow(F.generator_int, p - 2, p)
+            ipows = EF.from_int(np_powers(inv_s, n_fin, p))
+            coeffs = _ef_dft(EF).coset_idft_batch(nat[:, None], ipows)[:, 0]
+            return coeffs[: 1 << log_len]
 
         def body(state, ros, inv2x_tables):
             ro = dict(zip(heights, ros))
             cur = ro[log_max]
             roots, all_levels, all_pairs = [], [], []
-            st = state[None]  # (1, W)
+            dx = _DevDuplex(perm, state, rate)
             for log_h in range(log_max, log_final, -1):
                 half = 1 << (log_h - 1)
                 pairs = cur.reshape(half, 2, D)
@@ -649,16 +847,30 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
                 roots.append(root)
                 all_levels.append(tuple(levels))
                 all_pairs.append(pairs)
-                # duplex: overwrite rate section with the digest, permute
-                st = st.at[0, :rate].set(root)
-                st = perm.permute(st)
-                beta = jnp.stack([st[0, rate - 1 - j] for j in range(D)])
-                e_o = _fold_pair(F, EF, pairs, beta, inv2x_tables[log_h])
-                cur = e_o
+                dx.observe_vec(root, rate)
+                beta = jnp.stack([dx.sample() for _ in range(D)])
+                cur = _fold_pair(F, EF, pairs, beta, inv2x_tables[log_h])
                 if log_h - 1 in ro:
                     cur = EF.add(cur, ro[log_h - 1])
+            final_poly = final_poly_dev(cur)
+            dx.observe_vec(final_poly.reshape(-1), n_fp)
+            if pow_bits > 0:
+                witness, check = _device_grind(F, dx, pow_bits)
+            else:
+                witness = jnp.uint32(0)
+                check = jnp.uint32(0)
+            q_idx = F.to_canonical(jnp.stack(dx.sample_many(nq))) & jnp.uint32(
+                (1 << log_max) - 1
+            )
             packed_small = jnp.concatenate(
-                [jnp.stack(roots).reshape(-1), st[0]]
+                [
+                    jnp.stack(roots).reshape(-1) if roots else jnp.zeros(0, jnp.uint32),
+                    dx.st,
+                    final_poly.reshape(-1),
+                    witness[None],
+                    F.to_canonical(check)[None],
+                    q_idx,
+                ]
             )
             return packed_small, tuple(all_levels), tuple(all_pairs), cur
 
@@ -672,16 +884,24 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
         for log_h in range(log_max, log_final, -1)
     }
     packed_small, all_levels, all_pairs, cur = fn(state_mont, ros, inv2x_tables)
-    small = np.asarray(packed_small)  # ONE download: roots + final state
-    roots_np = small[: num_rounds * DIGEST_WIDTH].reshape(num_rounds, DIGEST_WIDTH)
-    state_mont_np = small[num_rounds * DIGEST_WIDTH :]
+    small = np.asarray(packed_small)  # ONE download: whole transcript tail
+    off = num_rounds * DIGEST_WIDTH
+    roots_np = small[:off].reshape(num_rounds, DIGEST_WIDTH)
+    W = challenger.width
+    state_mont_np = small[off : off + W]; off += W
+    final_poly = small[off : off + n_fp].reshape(1 << log_len, D); off += n_fp
+    pow_witness = int(small[off]); off += 1
+    check = int(small[off]); off += 1
+    if pow_bits > 0 and (check & ((1 << pow_bits) - 1)) != 0:
+        raise AssertionError("device grind produced an invalid PoW witness")
+    query_indices = [int(x) for x in small[off : off + nq]]
     # reseed the host transcript: state, empty input, leftover outputs
     state_canon = np.asarray(
         F.to_ints(state_mont_np), dtype=challenger._dtype
     )
     challenger._state = state_canon.copy()
     challenger._input = []
-    challenger._output = [int(x) for x in state_canon[: rate - D]]
+    challenger._output = [int(x) for x in state_canon[:n_out_final]]
     commits, fold_data = [], []
     for r, log_h in enumerate(range(log_max, log_final, -1)):
         half = 1 << (log_h - 1)
@@ -693,7 +913,7 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
         )
         commits.append(roots_np[r])
         fold_data.append((mdata, pairs))
-    return commits, fold_data, cur
+    return commits, fold_data, cur, final_poly, pow_witness, query_indices
 
 
 def _fold_pair(F, EF, pairs, beta, inv2x_brev):
@@ -776,7 +996,9 @@ def _reduced_openings_batch(F, EF, sig, ldes, alpha, zs, vals):
 
 def _claimed_evals_batch(F, EF, sig, coeffs, zs):
     """Evaluate every coefficient matrix at its assigned points in one
-    jitted program. sig: per matrix (n, w, point_indices); zs: (nz, D)."""
+    jitted program. sig: per matrix (n, w, point_indices); zs: (nz, D).
+    Returns (per-pair values, 1-D packed concat of all values) — the
+    packed copy lets the caller download everything in one transfer."""
     key = (F.name, EF.name, sig)
     fn = _CLAIMED_EVALS_CACHE.get(key)
     if fn is None:
@@ -793,7 +1015,8 @@ def _claimed_evals_batch(F, EF, sig, coeffs, zs):
                 for zi in pt_ids:
                     zp = tables[zi][:n]
                     out.append(_coeff_contraction(F, EF, cf, zp))
-            return tuple(out)
+            packed = jnp.concatenate([v.reshape(-1) for v in out])
+            return tuple(out), packed
 
         fn = jax.jit(body)
         _CLAIMED_EVALS_CACHE[key] = fn

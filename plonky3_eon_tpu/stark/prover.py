@@ -62,17 +62,21 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
     # (eon's _WithLookups) expose `cache_identity` — a tuple of the wrapped
     # air plus whatever constants get baked into the traced program — so the
     # compiled fold is still reused across calls.
+    # public values are TRACED arguments (like alpha), so proving the same
+    # AIR with different public inputs reuses one compiled fold — the key
+    # carries only their COUNT (VERDICT r3 weak-5)
+    npub = len(np.asarray(public_values, dtype=object).reshape(-1))
     cache_key = (
         getattr(air, "cache_identity", air), F.name, EF.name,
-        trace_lde.shape, next_step,
-        tuple(int(v) for v in np.asarray(public_values).reshape(-1)),
+        trace_lde.shape, next_step, npub,
         None if not has_prep else preprocessed_lde.shape,
         None if not has_perm else permutation_lde.shape,
         # eon: global-lookup cumulative values are baked as constants into
         # the traced program — bust the cache when they change
     )
 
-    def fold_fn(trace_lde, alpha, is_first, is_last, is_trans, inv_vanishing, *opt):
+    def fold_fn(trace_lde, publics, alpha, is_first, is_last, is_trans,
+                inv_vanishing, *opt):
         folder = ConstraintFolder(F, EF, alpha, num_lanes=trace_lde.shape[0],
                                   num_constraints=num_constraints)
         # lanes-trailing layout (air/array_builder.py): matrices transposed
@@ -94,8 +98,7 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
                 Expr(folder, chs[j], True) for j in range(chs.shape[0])
             ]
         folder.public_values = [
-            Expr(folder, F.from_int(int(pv)), False)
-            for pv in np.asarray(public_values).reshape(-1)
+            Expr(folder, publics[i], False) for i in range(npub)
         ]
         folder.is_first_row = Expr(folder, is_first, False)
         folder.is_last_row = Expr(folder, is_last, False)
@@ -127,7 +130,11 @@ def quotient_values(air, F, EF, trace_domain, quotient_domain, trace_lde, public
     if has_perm:
         opt_args.append(permutation_lde)
         opt_args.append(jnp.asarray(permutation_challenges))
-    return fn(trace_lde, alpha, sels.is_first_row, sels.is_last_row,
+    publics_dev = F.from_int(
+        np.asarray([int(v) for v in np.asarray(public_values, dtype=object).reshape(-1)],
+                   dtype=object)
+    )
+    return fn(trace_lde, publics_dev, alpha, sels.is_first_row, sels.is_last_row,
               sels.is_transition, sels.inv_vanishing, *opt_args)
 
 

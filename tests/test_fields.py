@@ -249,3 +249,61 @@ def test_goldilocks_dft_roundtrip():
     )
     back = fast.idft_batch(fast.dft_batch(mat))
     assert np.array_equal(np.asarray(F.to_ints(back)), np.asarray(F.to_ints(mat)))
+
+
+# ---- unified serialization (fields/serial.py; RawDataSerializable parity,
+# ref field/src/field.rs:650-743) ------------------------------------------
+
+
+def test_serial_into_bytes_reference_semantics():
+    """into_bytes == little-endian canonical to_bytes per element, for a
+    31-bit field, Goldilocks (8 bytes), and BN254 Fr (32 bytes)."""
+    from plonky3_eon_tpu.fields import BabyBear, Goldilocks, serial
+    from plonky3_eon_tpu.fields.bigfield import Bn254Fr
+
+    for F, vals in [
+        (BabyBear, [0, 1, 12345678, BabyBear.order - 1]),
+        (Goldilocks, [0, 1, (1 << 62) + 99, Goldilocks.order - 1]),
+        (Bn254Fr, [0, 1, (1 << 200) + 123, Bn254Fr.order - 1]),
+    ]:
+        nb = serial.num_bytes(F)
+        arr = F.from_int(np.asarray(vals, dtype=object))
+        got = serial.into_bytes(F, arr)
+        want = b"".join(int(v).to_bytes(nb, "little") for v in vals)
+        assert got.tobytes() == want, F.name
+
+
+def test_serial_word_streams_pad_and_pack():
+    from plonky3_eon_tpu.fields import BabyBear as F, serial
+
+    vals = [3, 5, 7]
+    arr = F.from_int(np.asarray(vals, dtype=np.uint64))
+    u32 = serial.into_u32_stream(F, arr)
+    assert u32.tolist() == vals  # 4-byte field: identity
+    u64 = serial.into_u64_stream(F, arr)
+    # pairs pack little-endian; odd tail zero-padded
+    assert u64.tolist() == [3 + (5 << 32), 7]
+
+
+def test_serial_parallel_streams_transpose_equivalence():
+    """into_parallel_u32_streams == transpose ∘ per-column into_u32_stream
+    ∘ transpose (the trait's documented guarantee), and the u64 variant
+    likewise — checked on Goldilocks where NUM_BYTES=8 splits each element
+    into two u32 rows."""
+    from plonky3_eon_tpu.fields import Goldilocks as F, serial
+
+    rng = np.random.default_rng(3)
+    mat_int = rng.integers(0, F.order, size=(5, 3), dtype=np.uint64)
+    mat = F.from_int(mat_int)
+    got = serial.into_parallel_u32_streams(F, mat)
+    want = np.stack(
+        [serial.into_u32_stream(F, F.from_int(mat_int[:, j])) for j in range(3)],
+        axis=1,
+    )
+    assert np.array_equal(got, want)
+    got64 = serial.into_parallel_u64_streams(F, mat)
+    want64 = np.stack(
+        [serial.into_u64_stream(F, F.from_int(mat_int[:, j])) for j in range(3)],
+        axis=1,
+    )
+    assert np.array_equal(got64, want64)

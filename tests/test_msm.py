@@ -18,6 +18,75 @@ requires_tpu = pytest.mark.skipif(
 )
 
 
+def test_pippenger_machinery_mock_group():
+    """The window/sort/segment-scan/bucket-scatter/suffix logic of
+    `_msm_pippenger_core` under a cheap mock group on CPU (VERDICT r3
+    item 4): the additive group (Z_m)^2 with elementwise add. In an
+    additive group the MSM degenerates to sum_i s_i * x_i mod m, which
+    numpy computes directly — any bucketing/overflow/ordering bug shows
+    up as a wrong sum. Exercises both the c=8 and c=16 window paths
+    (c=16 is the one engaged at n >= 2^15 on TPU, never CPU-tested
+    before) plus duplicate/zero/all-equal digit edge cases."""
+    import jax.numpy as jnp
+
+    from plonky3_eon_tpu.bn254.curve import _ints_to_digit_rows, _msm_pippenger_core
+    from plonky3_eon_tpu.fields.bigfield import Bn254Fr as Fr
+
+    m = np.uint64(0x7FFFFFFF)
+
+    def add(a, b):
+        return (a + b) % m
+
+    def identity(shape):
+        return jnp.zeros(tuple(shape) + (2,), jnp.uint64)
+
+    rng = np.random.default_rng(42)
+    for c, n in [(8, 37), (16, 64), (4, 16)]:
+        xs = rng.integers(0, int(m), size=(n, 2), dtype=np.uint64)
+        scalars = [int(s) for s in rng.integers(0, 1 << 63, size=n)]
+        scalars[0] = 0  # zero scalar
+        scalars[1] = scalars[2] = (1 << 40) + 7  # duplicate digits
+        scalars[3] = Fr.order - 1  # max scalar
+        digits = _ints_to_digit_rows(scalars, c)
+        # digit extraction is itself checked against plain shifting
+        for w in range(digits.shape[0]):
+            for i in [0, 1, 3, n - 1]:
+                assert digits[w, i] == (scalars[i] >> (w * c)) & ((1 << c) - 1)
+        got = np.asarray(
+            _msm_pippenger_core(jnp.asarray(xs), jnp.asarray(digits), c, add, identity)
+        )
+        want = np.zeros(2, dtype=object)
+        for s, x in zip(scalars, xs):
+            want = (want + (s % int(m)) * x.astype(object)) % int(m)
+        assert (got.astype(object) == want).all(), (c, n)
+
+
+def test_pippenger_mock_group_all_zero_and_single_bucket():
+    """Degenerate digit patterns: all-zero digits (result = identity) and
+    every scalar sharing ONE digit value (single segment covering the
+    whole array)."""
+    import jax.numpy as jnp
+
+    from plonky3_eon_tpu.bn254.curve import _msm_pippenger_core
+
+    m = np.uint64(1009)
+
+    def add(a, b):
+        return (a + b) % m
+
+    def identity(shape):
+        return jnp.zeros(tuple(shape) + (1,), jnp.uint64)
+
+    n, c = 10, 8
+    xs = np.arange(1, n + 1, dtype=np.uint64).reshape(n, 1)
+    zero_digits = np.zeros((2, n), dtype=np.uint32)
+    got = np.asarray(_msm_pippenger_core(jnp.asarray(xs), jnp.asarray(zero_digits), c, add, identity))
+    assert (got == 0).all()
+    same = np.full((1, n), 7, dtype=np.uint32)
+    got = np.asarray(_msm_pippenger_core(jnp.asarray(xs), jnp.asarray(same), c, add, identity))
+    assert int(got[0]) == 7 * (n * (n + 1) // 2) % int(m)
+
+
 @requires_tpu
 def test_pippenger_vs_host_math():
     from plonky3_eon_tpu.bn254 import curve as C

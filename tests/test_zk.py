@@ -57,6 +57,47 @@ def test_zk_proofs_of_same_trace_differ():
     verify(config, FibonacciAir(), p2, [0, 1, x])
 
 
+def test_zk_quotient_chunk_commitments_randomized():
+    """Quotient-chunk hiding (VERDICT r3 item 8; ref `commit/src/pcs.rs:
+    70-100` + the removed upstream p3-fri ZK commit_quotient): the chunks
+    are functions of the RANDOMIZED trace t_hat = t + Z_H*r, and r is
+    drawn fresh per prove, so two proofs of the identical trace must
+    produce different quotient-chunk commitments (the chunk decomposition
+    of a fixed Q is unique — deg<n chunks recomposing to Q form a
+    bijection — so chunk hiding can only come from randomizing Q itself,
+    which the trace randomizer does)."""
+    config = make_config()
+    trace, x = generate_fibonacci_trace(F, 16)
+    p1 = prove(config, FibonacciAir(), trace, [0, 1, x])
+    p2 = prove(config, FibonacciAir(), trace, [0, 1, x])
+    assert not np.array_equal(
+        np.asarray(p1.commitments.quotient_chunks),
+        np.asarray(p2.commitments.quotient_chunks),
+    ), "quotient chunk commitments repeated across ZK proves"
+    # and the opened chunk VALUES at zeta must differ too (the openings
+    # would otherwise leak the deterministic quotient)
+    assert not all(
+        np.array_equal(a, b)
+        for a, b in zip(p1.opened_values.quotient_chunks,
+                        p2.opened_values.quotient_chunks)
+    )
+    verify(config, FibonacciAir(), p1, [0, 1, x])
+    verify(config, FibonacciAir(), p2, [0, 1, x])
+
+
+def test_nonzk_quotient_chunks_deterministic():
+    """Control for the ZK test: without ZK the whole proof pipeline is
+    deterministic — same trace, same chunk commitments."""
+    config = make_config(zk=False)
+    trace, x = generate_fibonacci_trace(F, 16)
+    p1 = prove(config, FibonacciAir(), trace, [0, 1, x])
+    p2 = prove(config, FibonacciAir(), trace, [0, 1, x])
+    assert np.array_equal(
+        np.asarray(p1.commitments.quotient_chunks),
+        np.asarray(p2.commitments.quotient_chunks),
+    )
+
+
 def test_zk_rejects_bad_public():
     config = make_config()
     trace, x = generate_fibonacci_trace(F, 16)
