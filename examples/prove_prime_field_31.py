@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--field", choices=["baby-bear", "koala-bear"], default="koala-bear")
+    # mersenne-31 selects the circle-STARK engine (CirclePcs over the CFFT;
+    # ref `examples/src/parsers.rs:12-34`, `proofs.rs:162-198`)
+    ap.add_argument(
+        "--field",
+        choices=["baby-bear", "koala-bear", "mersenne-31"],
+        default="koala-bear",
+    )
     ap.add_argument(
         "--objective",
         choices=[
@@ -81,9 +87,14 @@ def main():
     from plonky3_eon_tpu.stark.serde import report_proof_size, serialize_proof
     from plonky3_eon_tpu.utils.tracing import enable_tracing, span, tracing_report
 
-    F, EF = (
-        (BabyBear, BabyBear4) if args.field == "baby-bear" else (KoalaBear, KoalaBear4)
-    )
+    if args.field == "baby-bear":
+        F, EF = BabyBear, BabyBear4
+    elif args.field == "koala-bear":
+        F, EF = KoalaBear, KoalaBear4
+    else:  # mersenne-31: circle STARK (quartic challenge field)
+        from plonky3_eon_tpu.fields import Mersenne31, Mersenne31Quartic
+
+        F, EF = Mersenne31, Mersenne31Quartic
     rng = np.random.default_rng(0)
     n = 1 << args.log_trace_length
 
@@ -130,11 +141,21 @@ def main():
         hasher = SerializingHasher(F, KeccakU64Sponge(keccak_f))
         compressor = CompressionFunctionFromHasher(hasher, 2, 8)
     mmcs = MerkleTreeMmcs(hasher, compressor)
-    pcs = TwoAdicFriPcs(
-        F, EF, mmcs, mmcs,
-        FriConfig(args.log_blowup, args.num_queries, args.pow_bits,
-                  args.log_final_poly_len),
-    )
+    if args.field == "mersenne-31":
+        # circle-STARK PCS: M31 is not two-adic in the multiplicative
+        # sense; commitments ride the CFFT over the circle group
+        from plonky3_eon_tpu.circle.pcs import CircleFriConfig, CirclePcs
+
+        pcs = CirclePcs(
+            EF, mmcs, mmcs,
+            CircleFriConfig(args.log_blowup, args.num_queries, args.pow_bits),
+        )
+    else:
+        pcs = TwoAdicFriPcs(
+            F, EF, mmcs, mmcs,
+            FriConfig(args.log_blowup, args.num_queries, args.pow_bits,
+                      args.log_final_poly_len),
+        )
     ch_perm = Poseidon2(F, 16)
     config = StarkConfig(
         F=F, EF=EF, pcs=pcs,

@@ -302,3 +302,63 @@ def msm_scan(points, scalars) -> jnp.ndarray:
 def g1_scalar_mul(point, k: int):
     """Single-point scalar mul via the batched path."""
     return msm(point[None], [k])
+
+
+# ---- fixed-base batch scalar multiplication --------------------------------
+#
+# [s_i]G for one shared base G and many scalars — the SRS-generation shape
+# (`kzg/src/params.rs:123` `init_srs_unsafe` computes [tau^i]G1 in a serial
+# host loop; at 2^20 that is a million 254-bit ladders). TPU formulation:
+# precompute per-window tables T_w[d] = [d * 2^{cw}]G with ONE prefix
+# associative_scan per window, then every scalar is nwin table gathers +
+# a log-depth tree sum — no per-scalar ladder anywhere.
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fixed_base_table(bases, c: int):
+    """bases: (nwin, 3, 16) window base points [2^{cw}]G ->
+    (nwin, 2^c, 3, 16) tables T_w[d] = d * bases_w (prefix scan)."""
+    nwin = bases.shape[0]
+    nb = 1 << c
+    rep = jnp.broadcast_to(bases[:, None], (nwin, nb, 3, NUM_DIGITS))
+    seq = jnp.concatenate([g1_identity((nwin, 1)), rep[:, 1:]], axis=1)
+    return jax.lax.associative_scan(g1_add, seq, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fixed_base_eval(table, digits, chunk: int):
+    """table: (nwin, 2^c, 3, 16); digits: (nwin, N) uint32 ->
+    (N, 3, 16) points [s_i]G, lax.map-chunked over scalars to bound the
+    gathered working set."""
+    nwin, n = digits.shape
+    nch = -(-n // chunk)
+    pad = nch * chunk - n
+    if pad:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((nwin, pad), digits.dtype)], axis=1
+        )
+    dig = digits.reshape(nwin, nch, chunk).transpose(1, 0, 2)  # (nch, nwin, chunk)
+
+    def body(dg):
+        pts = jax.vmap(lambda t, d: t[d])(table, dg)  # (nwin, chunk, 3, 16)
+        return _tree_sum(pts)  # (chunk, 3, 16)
+
+    out = jax.lax.map(body, dig).reshape(nch * chunk, 3, NUM_DIGITS)
+    return out[:n]
+
+
+def g1_fixed_base_msm(base_affine, scalars_ints, c: int = 16,
+                      chunk: int = 1 << 14) -> jnp.ndarray:
+    """[s_i] * base for a host affine point and canonical scalar ints.
+    Returns (N, 3, 16) projective device points."""
+    nbits = Fr.order.bit_length()
+    nwin = (nbits + c - 1) // c
+    bases = []
+    cur = base_affine
+    for w in range(nwin):
+        bases.append(cur)
+        if w + 1 < nwin:
+            cur = host.g1_mul(cur, 1 << c)
+    table = _fixed_base_table(points_from_affine_ints(bases), c)
+    digits = jnp.asarray(_ints_to_digit_rows(scalars_ints, c))
+    return _fixed_base_eval(table, digits, chunk)

@@ -290,10 +290,32 @@ class TwoAdicFriPcs(Pcs):
         #    (field, log_h) instead of permuting every LDE matrix twice.
         #    The whole phase is one jitted program per shape signature.
         sp = span("fri: reduced openings"); sp.__enter__()
+        row_shard = None
+        if self.mesh is not None:
+            # SURVEY.md §5.8 / VERDICT r3 item 9: the reduced-opening
+            # contraction and the fold-phase pair arrays are embarrassingly
+            # row-parallel — shard rows over the mesh (pair boundaries stay
+            # chip-local because shard sizes are kept even); XLA GSPMD
+            # propagates the sharding through the whole fold program.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(np.prod(self.mesh.devices.shape))
+
+            def row_shard(arr):
+                if int(arr.shape[0]) % (2 * ndev) == 0:
+                    return jax.device_put(
+                        arr, NamedSharding(self.mesh, P("chip"))
+                    ) if arr.ndim == 1 else jax.device_put(
+                        arr, NamedSharding(self.mesh, P(*(("chip",) + (None,) * (arr.ndim - 1))))
+                    )
+                return arr
+
         ro_sig, ro_ldes, ro_vals, ro_zids = [], [], [], []
         for (pd, points_per_matrix), round_vals in zip(rounds, opened_dev):
             for m_idx, (cf, points) in enumerate(zip(pd.coeffs, points_per_matrix)):
                 lde_brev = pd.ldes_brev[m_idx]
+                if row_shard is not None:
+                    lde_brev = row_shard(lde_brev)
                 pt_ids = tuple(z_ids[id(z)] for z in points)
                 ro_sig.append(
                     (
@@ -309,6 +331,9 @@ class TwoAdicFriPcs(Pcs):
             F, EF, tuple(ro_sig), tuple(ro_ldes), alpha,
             jnp.stack(zs), tuple(ro_vals),
         )
+        if row_shard is not None:
+            # keep the fold phase's pair arrays row-sharded too
+            ro_by_height = {h: row_shard(v) for h, v in ro_by_height.items()}
 
         # 4. FRI fold phase
         for v in ro_by_height.values():

@@ -102,15 +102,28 @@ class KzgSrs:
     @staticmethod
     def unsafe_new(tau: int, n: int) -> "KzgSrs":
         """Test-only SRS from a known tau (ref: `init_srs_unsafe`,
-        params.rs:123)."""
+        params.rs:123). Large SRS builds run the device fixed-base path
+        ([tau^i]G via per-window prefix tables + gathers,
+        `bn254/curve.py:g1_fixed_base_msm`) instead of the reference's
+        serial host ladder — a 2^20 SRS is a few device dispatches."""
         tau %= hostc.R
-        pts = []
-        cur = hostc.G1_GEN
-        for _ in range(n):
-            pts.append(cur)
-            cur = hostc.g1_mul(cur, tau)
+        if n >= 512:
+            from ..bn254.curve import g1_fixed_base_msm
+
+            powers, cur = [], 1
+            for _ in range(n):
+                powers.append(cur)
+                cur = cur * tau % hostc.R
+            g1_powers = g1_fixed_base_msm(hostc.G1_GEN, powers)
+        else:
+            pts = []
+            cur = hostc.G1_GEN
+            for _ in range(n):
+                pts.append(cur)
+                cur = hostc.g1_mul(cur, tau)
+            g1_powers = points_from_affine_ints(pts)
         return KzgSrs(
-            g1_powers=points_from_affine_ints(pts),
+            g1_powers=g1_powers,
             g2_gen=hostc.G2_GEN,
             g2_alpha=hostc.g2_mul(hostc.G2_GEN, tau),
             max_degree=n,

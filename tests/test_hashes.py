@@ -167,3 +167,17 @@ def test_multi_field_challenger():
     w = a.grind(4)
     d = mk(); d.observe_ints([1, 2, 3]); _ = d.sample_int()
     assert d.check_witness(4, w)
+
+
+def test_poseidon2_unknown_instance_requires_optin():
+    """Unknown (field, width) combos must not silently get generic round
+    numbers (VERDICT r3 weak-7 / item 10)."""
+    import pytest
+
+    from plonky3_eon_tpu.fields import Goldilocks
+    from plonky3_eon_tpu.hashes import Poseidon2
+
+    with pytest.raises(ValueError, match="round numbers"):
+        Poseidon2(Goldilocks, 16)
+    Poseidon2(Goldilocks, 16, allow_generic_rounds=True)  # explicit opt-in
+    Poseidon2(Goldilocks, 16, rounds_f=8, rounds_p=22)  # explicit rounds

@@ -106,6 +106,21 @@ def test_pippenger_vs_host_math():
 
 
 @requires_tpu
+def test_fixed_base_msm_vs_host():
+    """Device fixed-base [s_i]G (SRS generation path) vs the host ladder."""
+    from plonky3_eon_tpu.bn254 import curve as C
+    from plonky3_eon_tpu.bn254 import pairing as host
+
+    random.seed(1)
+    scalars = [0, 1, 2, (1 << 16), C.Fr.order - 1] + [
+        random.randrange(0, C.Fr.order) for _ in range(11)
+    ]
+    got = C.points_to_affine_ints(C.g1_fixed_base_msm(host.G1_GEN, scalars))
+    for s, g in zip(scalars, got):
+        assert g == host.g1_mul(host.G1_GEN, s), s
+
+
+@requires_tpu
 def test_pippenger_edge_scalars():
     """Zero scalars, scalar 1, duplicate digits, identity points."""
     from plonky3_eon_tpu.bn254 import curve as C
