@@ -376,7 +376,7 @@ def main():
     else:
         # headline already emitted — measure the fallback for the record
         # (stderr only) and profile it, budget permitting.
-        if _budget_left() > 180.0 and os.environ.get("BENCH_FALLBACK", "1") != "0":
+        if _budget_left() > 280.0 and os.environ.get("BENCH_FALLBACK", "1") != "0":
             try:
                 config, air, trace = _build_config(F, EF, log_n, "poseidon-2")
                 elapsed = _measure_prove(config, air, trace, iters=3, tag=f" 2^{log_n}")
