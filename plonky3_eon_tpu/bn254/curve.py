@@ -186,13 +186,64 @@ def _tree_sum(pts, add=None):
     return pts[0]
 
 
+def _hs_suffix_scan(vals, add, ident_row, fmask):
+    """Hillis-Steele suffix inclusive scan along axis 0 under fori_loop:
+    the compiled program contains ONE `add` instance regardless of length
+    (a work-efficient associative_scan inlines ~2 log m adds — each BN254
+    add is ~12 CIOS scan bodies, so inlining dominates COMPILE time; H-S
+    trades ~log m times more lane-parallel work for a flat program)."""
+    m = vals.shape[0]
+    if m == 1:
+        return vals
+    logm = (m - 1).bit_length()
+    iota = jnp.arange(m, dtype=jnp.int32)
+
+    def step(j, v):
+        off = jnp.left_shift(jnp.int32(1), j)
+        idx = jnp.minimum(iota + off, m - 1)
+        prev = jnp.where(fmask(iota + off <= m - 1), v[idx], ident_row)
+        return add(v, prev)
+
+    return jax.lax.fori_loop(0, logm, step, vals)
+
+
+def _hs_segmented_scan(vals, seg_start, add, fmask):
+    """Segmented inclusive scan (Hillis-Steele) along axis 0; segment ends
+    hold their segment sums. ONE `add` instance in the program."""
+    n = vals.shape[0]
+    if n == 1:
+        return vals
+    logn = (n - 1).bit_length()
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def step(j, carry):
+        v, f = carry
+        off = jnp.left_shift(jnp.int32(1), j)
+        idx = jnp.maximum(iota - off, 0)
+        in_range = iota >= off
+        prev_v = v[idx]
+        prev_f = jnp.where(in_range, f[idx], True)
+        do_add = (~f) & in_range
+        v2 = jnp.where(fmask(do_add), add(prev_v, v), v)
+        return v2, f | prev_f
+
+    v, _ = jax.lax.fori_loop(0, logn, step, (vals, seg_start.astype(bool)))
+    return v
+
+
 def _msm_pippenger_core(points, digits, c, add, identity):
     """Group-generic Pippenger machinery: points (N, ...feature), digits
     (nwin, N) uint32 (window 0 = least significant), `add` a batched
     associative group op, `identity(shape)` its identity constructor.
-    Parameterized so the sort/segment-scan/bucket-scatter/suffix logic is
+    Parameterized so the sort/segment-scan/bucket-fill/suffix logic is
     unit-testable on CPU under a cheap mock group (the BN254 instantiation
-    is compile-bound off-TPU; VERDICT r3 item 4)."""
+    is compile-bound off-TPU; VERDICT r3 item 4).
+
+    Compile-lean formulation: every reduction is a fixed-shape
+    Hillis-Steele fori_loop (ONE inlined group-add each) and the bucket
+    fill is searchsorted+gather, NOT a scatter — measured pathologies on
+    hardware: a 2^20-update scatter ran >30 min, and the associative_scan
+    version spent ~40 min in XLA compile at 2^15."""
     nbuckets = 1 << c
     feat = points.ndim - 1  # trailing feature dims of one group element
 
@@ -203,33 +254,25 @@ def _msm_pippenger_core(points, digits, c, add, identity):
         order = jnp.argsort(digits_w)
         d = digits_w[order]
         pts = points[order]
-        seg_start = jnp.concatenate(
-            [jnp.ones(1, jnp.uint32), (d[1:] != d[:-1]).astype(jnp.uint32)]
-        )
-
-        def comb(a, b):
-            va, fa = a
-            vb, fb = b
-            v = jnp.where(fmask(fb != 0), vb, add(va, vb))
-            return v, fa | fb
-
-        vals, _ = jax.lax.associative_scan(comb, (pts, seg_start))
-        is_end = jnp.concatenate([d[:-1] != d[1:], jnp.ones(1, bool)])
-        # each bucket has exactly one segment end; non-ends go to an
-        # overflow slot which is dropped (duplicate writes land only there)
-        idx = jnp.where(is_end, d, jnp.uint32(nbuckets))
-        buckets = identity((nbuckets + 1,)).at[idx].set(vals)
-        # drop overflow + bucket 0 (digit 0 contributes nothing)
-        buckets = buckets[1:nbuckets]
-        # sum_j j*B_j = sum_k S_k where S_k = sum_{j>=k} B_j (suffix sums)
-        suffix = jax.lax.associative_scan(add, buckets, reverse=True)
-        return _tree_sum(suffix, add)
+        seg_start = jnp.concatenate([jnp.ones(1, bool), d[1:] != d[:-1]])
+        vals = _hs_segmented_scan(pts, seg_start, add, fmask)
+        # digits are sorted, so bucket j's segment end sits at
+        # searchsorted(d, j, 'right')-1 — one binary search + one gather
+        targets = jnp.arange(1, nbuckets, dtype=d.dtype)
+        pos = jnp.clip(jnp.searchsorted(d, targets, side="right") - 1,
+                       0, d.shape[0] - 1)
+        hit = d[pos] == targets
+        buckets = jnp.where(fmask(hit), vals[pos], identity((nbuckets - 1,)))
+        # sum_j j*B_j = sum_k S_k with S_k = sum_{j>=k} B_j: one suffix
+        # scan for the S_k, a second to total them into position 0
+        ident_row = identity((nbuckets - 1,))
+        suffix = _hs_suffix_scan(buckets, add, ident_row, fmask)
+        return _hs_suffix_scan(suffix, add, ident_row, fmask)[0]
 
     window_sums = jax.lax.map(one_window, digits)  # (nwin, ...feature)
 
     def step(acc, wsum):
-        for _ in range(c):
-            acc = add(acc, acc)
+        acc = jax.lax.fori_loop(0, c, lambda j, a: add(a, a), acc)
         return add(acc, wsum), None
 
     acc, _ = jax.lax.scan(step, identity(()), window_sums[::-1])
@@ -317,12 +360,26 @@ def g1_scalar_mul(point, k: int):
 @functools.partial(jax.jit, static_argnums=(1,))
 def _fixed_base_table(bases, c: int):
     """bases: (nwin, 3, 16) window base points [2^{cw}]G ->
-    (nwin, 2^c, 3, 16) tables T_w[d] = d * bases_w (prefix scan)."""
+    (nwin, 2^c, 3, 16) tables T_w[d] = d * bases_w — a prefix scan as a
+    Hillis-Steele fori_loop (ONE inlined g1_add; the associative_scan
+    version took ~11 min of XLA compile at c=8)."""
     nwin = bases.shape[0]
     nb = 1 << c
     rep = jnp.broadcast_to(bases[:, None], (nwin, nb, 3, NUM_DIGITS))
     seq = jnp.concatenate([g1_identity((nwin, 1)), rep[:, 1:]], axis=1)
-    return jax.lax.associative_scan(g1_add, seq, axis=1)
+    ident_row = g1_identity((nb,))
+    iota = jnp.arange(nb, dtype=jnp.int32)
+
+    def prefix(v):
+        def step(j, vv):
+            off = jnp.left_shift(jnp.int32(1), j)
+            idx = jnp.maximum(iota - off, 0)
+            prev = jnp.where((iota >= off)[:, None, None], vv[idx], ident_row)
+            return g1_add(vv, prev)
+
+        return jax.lax.fori_loop(0, c, step, v)
+
+    return jax.vmap(prefix)(seq)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -347,10 +404,15 @@ def _fixed_base_eval(table, digits, chunk: int):
     return out[:n]
 
 
-def g1_fixed_base_msm(base_affine, scalars_ints, c: int = 16,
+def g1_fixed_base_msm(base_affine, scalars_ints, c: int = 8,
                       chunk: int = 1 << 14) -> jnp.ndarray:
     """[s_i] * base for a host affine point and canonical scalar ints.
-    Returns (N, 3, 16) projective device points."""
+    Returns (N, 3, 16) projective device points.
+
+    c=8 default: the table prefix-scan compiles ~2x faster than c=16
+    (every inlined g1_add is ~12 CIOS scan bodies; compile time, not run
+    time, dominates the one-off table build) while the eval stage stays
+    a few tens of millions of lane-parallel adds at 2^20 scalars."""
     nbits = Fr.order.bit_length()
     nwin = (nbits + c - 1) // c
     bases = []

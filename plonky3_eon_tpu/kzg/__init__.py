@@ -59,9 +59,11 @@ def _monty_decode_digits(a, c: int):
 
 
 def _window_bits(n: int) -> int:
-    # bucket stage ~3*2^c adds/window vs scan stage ~2N: c=16 wins once
-    # N >= ~2^15, c=8 below (both align with the 16-bit digit layout)
-    return 16 if n >= (1 << 15) else 8
+    # Hillis-Steele cost model (see curve._msm_pippenger_core): seg-scan
+    # ~nwin*logN*N adds, bucket ~nwin*2c*2^c adds. Halving nwin (c 8->16)
+    # halves the scan term but adds a ~36M-add bucket term — crossover
+    # lands around 2^18 (measured: c=8 ~3x faster at 2^15)
+    return 16 if n >= (1 << 18) else 8
 
 
 def msm_monty(points, scalars_monty):
