@@ -81,7 +81,7 @@ LIMB_WEIGHTS = (np.uint64(1) << np.arange(BITS_PER_LIMB, dtype=np.uint64)).astyp
 
 def pack_bits_to_limbs(bits, weights):
     """(..., 32)-bit block -> (..., 2) 16-bit limb block."""
-    shape = bits.shape[:-1] + (U32_LIMBS, BITS_PER_LIMB)
+    shape = tuple(bits.block_shape[:-1]) + (U32_LIMBS, BITS_PER_LIMB)
     return (bits.reshape_block(shape) * weights).sum_block(len(shape) - 1)
 
 

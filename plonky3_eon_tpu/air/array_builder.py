@@ -193,6 +193,9 @@ class ArrayOpsMixin:
         out = v.reshape((-1,) + tail)[np.asarray(flat_idx, dtype=np.int32)]
         return out.reshape(tuple(out_shape) + tail)
 
+    def _block_shape(self, v, ext):
+        return v.shape[: v.ndim - self._tail_ndim(ext)]
+
     def _reshape_block(self, v, ext, shape):
         tail = v.shape[v.ndim - self._tail_ndim(ext) :]
         return v.reshape(tuple(shape) + tail)

@@ -76,6 +76,11 @@ class Expr:
         rho-rotation B view of A')."""
         return Expr(self.b, self.b._gather(self.v, self.ext, flat_idx, out_shape), self.ext)
 
+    @property
+    def block_shape(self):
+        """Shape of the value BLOCK (excluding lane/limb tail axes)."""
+        return self.b._block_shape(self.v, self.ext)
+
     def reshape_block(self, shape):
         return Expr(self.b, self.b._reshape_block(self.v, self.ext, shape), self.ext)
 

@@ -88,6 +88,9 @@ class SymbolicAirBuilder(BuilderBase):
             return v.reshape(-1)[np.asarray(flat_idx)].reshape(tuple(out_shape))
         return v
 
+    def _block_shape(self, v, ext):
+        return v.shape if isinstance(v, np.ndarray) else ()
+
     def _reshape_block(self, v, ext, shape):
         return v.reshape(tuple(shape)) if isinstance(v, np.ndarray) else v
 

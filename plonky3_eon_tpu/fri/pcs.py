@@ -856,7 +856,9 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
             p = F.order
             nat = jnp.take(cur, jnp.asarray(bit_reverse_indices(n_fin)), axis=0)
             inv_s = pow(F.generator_int, p - 2, p)
-            ipows = EF.from_int(np_powers(inv_s, n_fin, p))
+            # explicit base embedding: a length-D int vector would otherwise be
+            # parsed as ONE extension element's coefficients (n_fin == D edge)
+            ipows = EF.from_base(F.from_int(np_powers(inv_s, n_fin, p)))
             coeffs = _ef_dft(EF).coset_idft_batch(nat[:, None], ipows)[:, 0]
             return coeffs[: 1 << log_len]
 
@@ -1112,7 +1114,8 @@ def _final_poly_coeffs(F, EF, cur, log_final: int, log_len: int) -> np.ndarray:
     p = F.order
     nat = jnp.take(cur, jnp.asarray(bit_reverse_indices(n_fin)), axis=0)
     inv_s = pow(F.generator_int, p - 2, p)
-    ipows = EF.from_int(np_powers(inv_s, n_fin, p))
+    # explicit base embedding (n_fin == D would misparse as one EF element)
+    ipows = EF.from_base(F.from_int(np_powers(inv_s, n_fin, p)))
     coeffs = _ef_dft(EF).coset_idft_batch(nat[:, None], ipows)[:, 0]
     return np.asarray(coeffs[: 1 << log_len])
 

@@ -15,17 +15,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pallas_sponge_ok(perm, batch: int, tile: int = 512) -> bool:
+def _pallas_sponge_ok(perm, batch: int, L: int = 16) -> bool:
     """Static (trace-time) gate for the Pallas fast path: Poseidon2 over a
-    31-bit field, batch divisible by the lane tile, TPU backend."""
+    31-bit field, batch divisible by the (VMEM-budgeted) lane tile for an
+    L-lane-wide input, TPU backend."""
     from .poseidon2 import Poseidon2
 
     if not isinstance(perm, Poseidon2) or perm.F.order >= (1 << 32):
         return False
-    if batch % tile:
-        return False
-    from ..ops.pallas_poseidon2 import pallas_available
+    from ..ops.pallas_poseidon2 import pallas_available, sponge_tile_for
 
+    if batch % sponge_tile_for(L):
+        return False
     return pallas_available()
 
 
@@ -48,7 +49,7 @@ class PaddingFreeSponge:
         batch = inputs.shape[0]
         L = inputs.shape[1]
         sfx = inputs.shape[2:]
-        if not sfx and _pallas_sponge_ok(self.perm, batch):
+        if not sfx and _pallas_sponge_ok(self.perm, batch, int(L)):
             from ..ops.pallas_poseidon2 import sponge_hash_T
 
             return sponge_hash_T(self.perm, inputs.T, self.rate, self.out).T

@@ -66,29 +66,57 @@ def _window_bits(n: int) -> int:
     return 16 if n >= (1 << 18) else 8
 
 
+#: points per MSM dispatch: above ~2^18 the 2^20-scale one_window working
+#: set (multiple (N,3,16) buffers held across H-S iterations) crashed the
+#: tunneled TPU worker; chunking costs one extra g1_add per chunk pair
+MSM_CHUNK = 1 << 18
+
+
 def msm_monty(points, scalars_monty):
     """Pippenger MSM with device-resident Montgomery-form Fr scalars
-    (ref: `G1::multi_exp` -> halo2curves `msm_best`, `curve.rs:158`)."""
-    from ..bn254.curve import _msm_pippenger
+    (ref: `G1::multi_exp` -> halo2curves `msm_best`, `curve.rs:158`).
+    Chunked over MSM_CHUNK-point slices; partial results add at the end."""
+    from ..bn254.curve import _msm_pippenger, g1_add_jit
 
-    c = _window_bits(int(points.shape[0]))
-    return _msm_pippenger(points, _monty_decode_digits(scalars_monty, c), c)
+    n = int(points.shape[0])
+    scalars_monty = scalars_monty.reshape(n, NUM_DIGITS)
+    if n <= MSM_CHUNK:
+        c = _window_bits(n)
+        return _msm_pippenger(points, _monty_decode_digits(scalars_monty, c), c)
+    acc = None
+    for off in range(0, n, MSM_CHUNK):
+        part = msm_monty(points[off : off + MSM_CHUNK],
+                         scalars_monty[off : off + MSM_CHUNK])
+        acc = part if acc is None else g1_add_jit(acc, part)
+    return acc
 
 
 def msm_monty_batch(points, cols_monty):
     """Batched-column MSM: cols_monty (n, w, 16) Montgomery scalars against
     shared `points` (n, 3, 16) -> (w, 3, 16) projective points in ONE
-    device dispatch (the reference loops halo2curves MSMs per column,
-    `kzg/src/pcs.rs:242-249`; per-dispatch tunnel latency makes that loop
-    the KZG bottleneck here — VERDICT r1 weak-7)."""
-    from ..bn254.curve import _msm_pippenger
+    device dispatch per MSM_CHUNK slice (the reference loops halo2curves
+    MSMs per column, `kzg/src/pcs.rs:242-249`; per-dispatch tunnel latency
+    makes that loop the KZG bottleneck here — VERDICT r1 weak-7)."""
+    from ..bn254.curve import _msm_pippenger, g1_add_jit
 
     n, w = int(cols_monty.shape[0]), int(cols_monty.shape[1])
+    if n > MSM_CHUNK:
+        acc = None
+        for off in range(0, n, MSM_CHUNK):
+            part = msm_monty_batch(points[off : off + MSM_CHUNK],
+                                   cols_monty[off : off + MSM_CHUNK])
+            acc = part if acc is None else g1_add_jit(acc, part)
+        return acc
     c = _window_bits(n)
     digits = _monty_decode_digits(
         jnp.moveaxis(cols_monty, 1, 0).reshape(w * n, NUM_DIGITS), c
     )  # (nwin, w*n)
     digits = digits.reshape(-1, w, n).swapaxes(0, 1)  # (w, nwin, n)
+    if w == 1 or n > (1 << 16):
+        # vmap-of-(map+fori+gather) programs fault the TPU worker above
+        # ~2^17 points (observed on hardware); per-column dispatches are
+        # amortized at these sizes anyway
+        return jnp.stack([_msm_pippenger(points, digits[j], c) for j in range(w)])
     return jax.vmap(lambda d: _msm_pippenger(points, d, c))(digits)
 
 
@@ -258,26 +286,45 @@ class KzgPcs:
 
 
 @jax.jit
+@jax.jit
 def _eval_and_quotient(cf, z):
     """f(z) per column and q(X) = (f(X) - f(z)) / (X - z).
 
-    cf: (n, w, 16) Montgomery coefficients; z: (16,). The synthetic division
-    runs as a lax.scan from the top coefficient: q_{i-1} = f_i + z*q_i
-    (ref: `quotient_and_eval`, kzg/src/util.rs:100-111)."""
+    cf: (n, w, 16) Montgomery coefficients; z: (16,). (ref:
+    `quotient_and_eval`, kzg/src/util.rs:100-111 — the reference runs
+    sequential synthetic division; a 2^20-step sequential scan stalls the
+    tunneled TPU long enough to kill the worker, so this uses the closed
+    form q_i = z^{-(i+1)} * sum_{j>i} f_j z^j — one log-depth suffix sum
+    (Hillis-Steele, ONE add instance) plus two power tables. For z = 0
+    the quotient degenerates to a coefficient shift, selected by mask.)"""
     n, w = cf.shape[0], cf.shape[1]
     zp = Fr.powers(z, n)  # (n, 16)
     vals = Fr.sum(Fr.mul(cf, zp[:, None, :]), axis=0)  # (w, 16)
     if n == 1:
         return vals, jnp.zeros((0, w, NUM_DIGITS), cf.dtype)
-    top = cf[n - 1]  # q_{n-2} = f_{n-1}
+    g = Fr.mul(cf, zp[:, None, :])  # (n, w, 16) f_j z^j
+    # suffix sums T_i = sum_{j >= i} g_j, then shift: want sum_{j > i}
+    m = n
+    iota = jnp.arange(m, dtype=jnp.int32)
+    zero_row = jnp.zeros_like(g)
 
-    def step(carry, f_i):  # carry = q_i; consume f_i -> q_{i-1}
-        new = Fr.add(f_i, Fr.mul(jnp.broadcast_to(z, carry.shape), carry))
-        return new, new
+    def hs_step(j, v):
+        off = jnp.left_shift(jnp.int32(1), j)
+        idx = jnp.minimum(iota + off, m - 1)
+        prev = jnp.where((iota + off <= m - 1)[:, None, None], v[idx], zero_row)
+        return Fr.add(v, prev)
 
-    # xs = [f_{n-2}, ..., f_0]: emits [q_{n-3}, ..., q_0, remainder]
-    _, em = jax.lax.scan(step, top, cf[: n - 1][::-1])
-    q = jnp.concatenate([em[: n - 2][::-1], top[None]], axis=0)
+    T = jax.lax.fori_loop(0, (m - 1).bit_length(), hs_step, g)
+    T_excl = jnp.concatenate([T[1:], jnp.zeros((1, w, NUM_DIGITS), cf.dtype)])
+    # z^{-(i+1)}: powers of z^{-1} shifted by one
+    z_is_zero = jnp.all(z == 0)  # Montgomery form of 0 is the zero vector
+    z_safe = jnp.where(z_is_zero, Fr.ones(()), z)
+    zinv = Fr.inv(z_safe)
+    zpinv = Fr.mul(Fr.powers(zinv, n), zinv[None])  # (n, 16) z^{-(i+1)}
+    q_general = Fr.mul(T_excl, zpinv[:, None, :])[: n - 1]
+    # z == 0: q_i = f_{i+1}
+    q_zero = cf[1:]
+    q = jnp.where(z_is_zero, q_zero, q_general)
     return vals, q
 
 

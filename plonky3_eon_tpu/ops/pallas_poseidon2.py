@@ -227,13 +227,25 @@ def pallas_available() -> bool:
         return False
 
 
-def sponge_hash_T(p2, matT, rate: int, out_n: int, tile: int = 512):
+def sponge_tile_for(L: int, tile: int = 512) -> int:
+    """Lane tile such that the (L, tile) input block fits scoped VMEM
+    (~16MB; budget half for the input block). Very wide matrices (Keccak's
+    2633 cols, Blake3's 9168) otherwise stack-OOM the kernel."""
+    budget = 8 << 20
+    while tile > 128 and L * tile * 4 > budget:
+        tile //= 2
+    return tile
+
+
+def sponge_hash_T(p2, matT, rate: int, out_n: int, tile: int | None = None):
     """Padding-free sponge over columns: matT (L, N) -> (out_n, N).
 
     The entire sponge (all absorb blocks + permutations) runs in VMEM.
     Requires N % tile == 0 (callers fall back to the XLA scan otherwise).
     """
     L, n = int(matT.shape[0]), int(matT.shape[1])
+    if tile is None:
+        tile = sponge_tile_for(L)
     return _sponge_call(p2, L, rate, out_n, n, tile)(matT)
 
 

@@ -132,3 +132,34 @@ def test_pippenger_edge_scalars():
     got = C.points_to_affine_ints(C.msm(pts, scalars)[None])[0]
     # 0*P0 + 1*5G + 12345*O + 3*G = 8G
     assert got == host.g1_mul(host.G1_GEN, 8)
+
+
+def test_eval_and_quotient_parallel_division():
+    """The closed-form synthetic division (fields are exact, so
+    q_i = z^{-(i+1)} * sum_{j>i} f_j z^j equals the sequential Horner
+    division; kzg/util.rs:100-111) — checked against host bigint math via
+    the coefficient identity (X - z) q(X) + f(z) == f(X), including z = 0
+    (coefficient shift) and z = r - 1."""
+    from plonky3_eon_tpu.fields.bigfield import Bn254Fr as Fr
+    from plonky3_eon_tpu.kzg import _eval_and_quotient
+
+    r = Fr.order
+    rng = np.random.default_rng(0)
+    for n, w, zint in [(8, 2, 12345), (16, 1, 0), (4, 3, r - 1)]:
+        cf_int = [[int(rng.integers(0, 1 << 62)) for _ in range(w)] for _ in range(n)]
+        cf = Fr.from_int(np.asarray(cf_int, dtype=object))
+        z = Fr.from_int(zint)
+        vals, q = _eval_and_quotient(cf, z)
+        vals_i = np.asarray(Fr.to_ints(vals), dtype=object)
+        q_i = np.asarray(Fr.to_ints(q), dtype=object)
+        for col in range(w):
+            f = [cf_int[i][col] for i in range(n)]
+            fz = sum(c * pow(zint, i, r) for i, c in enumerate(f)) % r
+            assert vals_i[col] == fz, (n, col)
+            qc = [int(q_i[i][col]) for i in range(n - 1)]
+            prod = [0] * n
+            for i, c in enumerate(qc):
+                prod[i + 1] = (prod[i + 1] + c) % r
+                prod[i] = (prod[i] - c * zint) % r
+            prod[0] = (prod[0] + fz) % r
+            assert prod == [c % r for c in f], (n, col, "quotient")
