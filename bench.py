@@ -41,7 +41,11 @@ Environment knobs:
   BENCH_HEADLINE        "0" disables the 2^20 headline (fallback only)
   BENCH_HEADLINE_LOG_N  log2 perms for the headline (default 20)
   BENCH_MERKLE          headline merkle hash: poseidon-2 (default) | keccak-f
-  BENCH_EXTRA           comma list of extra stderr-only benches:
+  BENCH_EXTRA           comma list of extra stderr-only benches (default
+                        "keccakf-headline,circle,kzg" — budget permitting):
+                        keccakf-headline (2^20 headline with the reference
+                          recipe's keccak-f merkle hash, config 2 exact),
+                        circle (M31 circle-STARK Poseidon2 2^16, config 4),
                         kzg (BN254 KZG commit/open 2^20, BASELINE config 5),
                         keccak-air (KoalaBear keccak-f AIR 2^17, config 3),
                         blake3-air (KoalaBear blake3 AIR 2^17, config 3)
@@ -161,10 +165,18 @@ def _build_config(F, EF, log_n, merkle_hash):
 def _measure_prove(config, air, trace, iters, tag=""):
     from plonky3_eon_tpu.stark import prove
 
+    from plonky3_eon_tpu.utils.tracing import enable_tracing, tracing_report
+
     _log(f"warmup prove{tag} (compiling uncached stages)")
     t0 = time.perf_counter()
-    prove(config, air, trace, [])  # warmup: compile everything once
+    enable_tracing(True)
+    try:
+        prove(config, air, trace, [])  # warmup: compile everything once
+    finally:
+        enable_tracing(False)
     _log(f"warmup done in {time.perf_counter() - t0:.1f}s; timing")
+    for line in tracing_report().splitlines():
+        _log(f"warmup{tag}: {line}")
     t0 = time.perf_counter()
     for _ in range(iters):
         prove(config, air, trace, [])
@@ -239,6 +251,67 @@ def _bench_kzg():
     pcs.open([(pd, [[zeta]])], ch)
     t_open = time.perf_counter() - t0
     _log(f"kzg: open 2^{log_n} = {t_open:.3f}s")
+
+
+def _bench_keccakf_headline(hl_log_n: int):
+    """The reference recipe EXACTLY (README.md:69 / BASELINE config 2):
+    2^20 KoalaBear Poseidon2 perms with keccak-f merkle hashing. stderr
+    only (the JSON headline is the TPU-native poseidon-2-merkle recipe);
+    VERDICT r4 item 2 demands a measured number for this variant."""
+    from plonky3_eon_tpu.fields import KoalaBear, KoalaBear4
+
+    config, air, trace = _build_config(KoalaBear, KoalaBear4, hl_log_n, "keccak-f")
+    elapsed = _measure_prove(config, air, trace, iters=1, tag=f"-keccakf 2^{hl_log_n}")
+    value = (1 << hl_log_n) / elapsed
+    _log(f"keccakf-headline: {value:.0f} perms/s "
+         f"(2^{hl_log_n} KoalaBear Poseidon2 perms, keccak-f merkle; "
+         f"vs 100k target = {value / TARGET_PERMS_PER_SEC:.2f}x)")
+
+
+def _bench_circle():
+    """BASELINE config 4: Mersenne31 circle-STARK — CirclePcs over the
+    CFFT, Poseidon2 merkle, 2^16 Poseidon2 perms proven. stderr only.
+    (Ref recipe: examples/src/proofs.rs:162-198 m31_keccak; first measured
+    number for the circle engine — VERDICT r4 item 4.)"""
+    import numpy as np
+
+    from plonky3_eon_tpu.challenger import DuplexChallenger
+    from plonky3_eon_tpu.circle.pcs import CircleFriConfig, CirclePcs
+    from plonky3_eon_tpu.commit import MerkleTreeMmcs
+    from plonky3_eon_tpu.fields import Mersenne31, Mersenne31Quartic
+    from plonky3_eon_tpu.hashes import (
+        PaddingFreeSponge,
+        Poseidon2,
+        TruncatedPermutation,
+    )
+    from plonky3_eon_tpu.models.poseidon2_air import Poseidon2Air
+    from plonky3_eon_tpu.stark import StarkConfig, prove
+
+    F, EF = Mersenne31, Mersenne31Quartic
+    log_n = int(os.environ.get("BENCH_CIRCLE_LOG_N", "16"))
+    p2 = Poseidon2(F, 16)
+    hasher = PaddingFreeSponge(p2, 16, 8, 8)
+    compressor = TruncatedPermutation(p2, 2, 8, 16)
+    mmcs = MerkleTreeMmcs(hasher, compressor)
+    pcs = CirclePcs(EF, mmcs, mmcs, CircleFriConfig(1, 100, 16))
+    config = StarkConfig(
+        F=F, EF=EF, pcs=pcs,
+        challenger_factory=lambda: DuplexChallenger(F, p2, 16, 8),
+    )
+    air = Poseidon2Air(p2)
+    rng = np.random.default_rng(0)
+    inputs = F.from_int(rng.integers(0, F.order, size=(1 << log_n, 16),
+                                     dtype=np.uint64))
+    _log(f"circle: generating witness trace 2^{log_n}")
+    trace = air.generate_trace(inputs)
+    trace.block_until_ready()
+    _log("circle: trace ready; warmup prove")
+    prove(config, air, trace, [])
+    t0 = time.perf_counter()
+    prove(config, air, trace, [])
+    dt = time.perf_counter() - t0
+    _log(f"circle: M31 CirclePcs prove 2^{log_n} Poseidon2 perms = {dt:.3f}s "
+         f"({(1 << log_n) / dt:.0f} perms/s)")
 
 
 def _bench_hash_air(which: str):
@@ -386,14 +459,19 @@ def main():
             except Exception as e:
                 _log(f"fallback failed: {e!r}")
 
-    # extra stderr-only benches (BASELINE configs 3 and 5)
-    for extra in [x for x in os.environ.get("BENCH_EXTRA", "").split(",") if x]:
+    # extra stderr-only benches (BASELINE configs 2-exact, 3, 4, 5)
+    extras = os.environ.get("BENCH_EXTRA", "keccakf-headline,circle,kzg")
+    for extra in [x for x in extras.split(",") if x]:
         if _budget_left() < 120.0:
             _log(f"skipping extra bench {extra}: budget exhausted")
             continue
         try:
             if extra == "kzg":
                 _bench_kzg()
+            elif extra == "keccakf-headline":
+                _bench_keccakf_headline(hl_log_n)
+            elif extra == "circle":
+                _bench_circle()
             elif extra in ("keccak-air", "blake3-air"):
                 _bench_hash_air(extra)
             else:

@@ -186,27 +186,6 @@ def _tree_sum(pts, add=None):
     return pts[0]
 
 
-def _hs_suffix_scan(vals, add, ident_row, fmask):
-    """Hillis-Steele suffix inclusive scan along axis 0 under fori_loop:
-    the compiled program contains ONE `add` instance regardless of length
-    (a work-efficient associative_scan inlines ~2 log m adds — each BN254
-    add is ~12 CIOS scan bodies, so inlining dominates COMPILE time; H-S
-    trades ~log m times more lane-parallel work for a flat program)."""
-    m = vals.shape[0]
-    if m == 1:
-        return vals
-    logm = (m - 1).bit_length()
-    iota = jnp.arange(m, dtype=jnp.int32)
-
-    def step(j, v):
-        off = jnp.left_shift(jnp.int32(1), j)
-        idx = jnp.minimum(iota + off, m - 1)
-        prev = jnp.where(fmask(iota + off <= m - 1), v[idx], ident_row)
-        return add(v, prev)
-
-    return jax.lax.fori_loop(0, logm, step, vals)
-
-
 def _hs_segmented_scan(vals, seg_start, add, fmask):
     """Segmented inclusive scan (Hillis-Steele) along axis 0; segment ends
     hold their segment sums. ONE `add` instance in the program."""
@@ -231,19 +210,143 @@ def _hs_segmented_scan(vals, seg_start, add, fmask):
     return v
 
 
-def _msm_pippenger_core(points, digits, c, add, identity):
-    """Group-generic Pippenger machinery: points (N, ...feature), digits
-    (nwin, N) uint32 (window 0 = least significant), `add` a batched
+# ---- work-efficient blocked scans (VERDICT r4 item 1b) ---------------------
+#
+# The pure Hillis-Steele scans above run ONE add instance but do ~log N
+# times the work, and every add runs at full-array lane width, where the
+# CIOS inner-scan carry ((s+2, N) u32 ~ 18 MB at N=2^18) no longer fits
+# VMEM — every H-S step thrashes HBM. The blocked formulation reshapes the
+# array into (nblk lanes) x (blk steps), runs a SEQUENTIAL lax.scan over
+# the blk axis (work-efficient: one add per element, and at ~4k-lane width
+# the CIOS carry stays on-chip), then resolves cross-block carries with a
+# small H-S pass over the nblk block tails. Still O(1) add instances per
+# scan, so compile size stays flat.
+
+
+def _blocked_scan_params(n: int):
+    """(blk, nblk): blk sequential steps x nblk parallel lanes, both
+    powers-of-two-ish with nblk*blk >= n. Targets ~4k lanes (enough to
+    saturate the VPU while keeping CIOS scan carries in VMEM), capping
+    sequential depth at 64."""
+    blk = max(1, min(64, n // 4096))
+    blk = 1 << (blk.bit_length() - 1)
+    nblk = -(-n // blk)
+    return blk, nblk
+
+
+def _pad_to(vals, total, identity):
+    pad = total - vals.shape[0]
+    if pad:
+        vals = jnp.concatenate([vals, identity((pad,))], axis=0)
+    return vals
+
+
+def _blocked_segmented_scan_parts(vals, seg_start, add, identity, fmask):
+    """Work-efficient segmented inclusive scan along axis 0.
+
+    Returns (scanned, carry_in, open, blk) WITHOUT applying cross-block
+    carries: `scanned` (padded flat) holds the within-block inclusive
+    segmented scan, `carry_in[b]` is the group element owed to block b's
+    leading open run, and `open[i]` marks elements whose segment began in
+    an earlier block. Callers that only consume a few positions (the
+    bucket fill) apply the carry at those positions only — the full-array
+    fix-up would cost another n adds."""
+    n = vals.shape[0]
+    blk, nblk = _blocked_scan_params(n)
+    total = nblk * blk
+    vals = _pad_to(vals, total, identity)
+    seg_start = seg_start.astype(bool)
+    if total > n:
+        # padded elements each start their own (discarded) segment
+        seg_start = jnp.concatenate(
+            [seg_start, jnp.ones((total - n,), bool)]
+        )
+    feat_shape = vals.shape[1:]
+    f = seg_start.reshape(nblk, blk)
+    v = vals.reshape((nblk, blk) + feat_shape)
+
+    def step(carry, xs):
+        x, start = xs
+        acc = jnp.where(fmask(start), x, add(carry, x))
+        return acc, acc
+
+    _, ys = jax.lax.scan(
+        step, identity((nblk,)), (jnp.moveaxis(v, 1, 0), f.T)
+    )
+    scanned = jnp.moveaxis(ys, 0, 1)  # (nblk, blk, ...)
+    tails = scanned[:, -1]
+    has_start = f.any(axis=1)
+    # I[b] = tails[b] if has_start[b] else I[b-1] + tails[b]  — an
+    # inclusive segmented scan over block tails
+    I = _hs_segmented_scan(tails, has_start, add, fmask)
+    carry_in = jnp.concatenate([identity((1,)), I[:-1]], axis=0)
+    open_ = jnp.cumsum(f.astype(jnp.int32), axis=1) == 0
+    return (
+        scanned.reshape((total,) + feat_shape),
+        carry_in,
+        open_.reshape(total),
+        blk,
+    )
+
+
+def _blocked_suffix_scan(vals, add, identity, fmask):
+    """Work-efficient (unsegmented) suffix inclusive scan along axis 0."""
+    n = vals.shape[0]
+    rev = jnp.flip(vals, 0)
+    blk, nblk = _blocked_scan_params(n)
+    total = nblk * blk
+    rev = _pad_to(rev, total, identity)
+    feat_shape = rev.shape[1:]
+    v = rev.reshape((nblk, blk) + feat_shape)
+
+    def step(carry, x):
+        acc = add(carry, x)
+        return acc, acc
+
+    _, ys = jax.lax.scan(step, identity((nblk,)), jnp.moveaxis(v, 1, 0))
+    scanned = jnp.moveaxis(ys, 0, 1)
+    tails = scanned[:, -1]
+    I = _hs_segmented_scan(tails, jnp.zeros((nblk,), bool), add, fmask)
+    excl = jnp.concatenate([identity((1,)), I[:-1]], axis=0)
+    fixed = add(jnp.broadcast_to(excl[:, None], scanned.shape), scanned)
+    # block 0 has no incoming carry; adding identity is exact for a group
+    # add, so no mask is needed
+    out = fixed.reshape((total,) + feat_shape)[:n]
+    return jnp.flip(out, 0)
+
+
+def _blocked_total(vals, add, identity, fmask):
+    """Group sum over axis 0, work-efficient, O(1) add instances."""
+    n = vals.shape[0]
+    blk, nblk = _blocked_scan_params(n)
+    total = nblk * blk
+    vals = _pad_to(vals, total, identity)
+    v = vals.reshape((nblk, blk) + vals.shape[1:])
+
+    def step(carry, x):
+        return add(carry, x), None
+
+    tails, _ = jax.lax.scan(step, identity((nblk,)), jnp.moveaxis(v, 1, 0))
+    I = _hs_segmented_scan(tails, jnp.zeros((nblk,), bool), add, fmask)
+    return I[-1]
+
+
+def _msm_window_sums(points, digits, c, add, identity):
+    """Group-generic Pippenger window machinery: points (N, ...feature),
+    digits (nwin, N) uint32 (window 0 = least significant), `add` a batched
     associative group op, `identity(shape)` its identity constructor.
+    Returns (nwin, ...feature) per-window bucket-weighted sums.
     Parameterized so the sort/segment-scan/bucket-fill/suffix logic is
     unit-testable on CPU under a cheap mock group (the BN254 instantiation
     is compile-bound off-TPU; VERDICT r3 item 4).
 
-    Compile-lean formulation: every reduction is a fixed-shape
-    Hillis-Steele fori_loop (ONE inlined group-add each) and the bucket
-    fill is searchsorted+gather, NOT a scatter — measured pathologies on
-    hardware: a 2^20-update scatter ran >30 min, and the associative_scan
-    version spent ~40 min in XLA compile at 2^15."""
+    Compile-lean formulation: every reduction is a blocked scan (O(1)
+    inlined group-adds each, work-efficient — see _blocked_scan_params)
+    and the bucket fill is searchsorted+gather, NOT a scatter — measured
+    pathologies on hardware: a 2^20-update scatter ran >30 min, the
+    associative_scan version spent ~40 min in XLA compile at 2^15, and
+    the round-4 pure Hillis-Steele version burned ~log N extra work with
+    every add at full-array width (CIOS carries spilling to HBM)."""
     nbuckets = 1 << c
     feat = points.ndim - 1  # trailing feature dims of one group element
 
@@ -255,21 +358,30 @@ def _msm_pippenger_core(points, digits, c, add, identity):
         d = digits_w[order]
         pts = points[order]
         seg_start = jnp.concatenate([jnp.ones(1, bool), d[1:] != d[:-1]])
-        vals = _hs_segmented_scan(pts, seg_start, add, fmask)
+        scanned, carry_in, open_, blk = _blocked_segmented_scan_parts(
+            pts, seg_start, add, identity, fmask
+        )
         # digits are sorted, so bucket j's segment end sits at
-        # searchsorted(d, j, 'right')-1 — one binary search + one gather
+        # searchsorted(d, j, 'right')-1 — one binary search + one gather;
+        # cross-block carries are applied at the gathered positions only
         targets = jnp.arange(1, nbuckets, dtype=d.dtype)
         pos = jnp.clip(jnp.searchsorted(d, targets, side="right") - 1,
                        0, d.shape[0] - 1)
         hit = d[pos] == targets
-        buckets = jnp.where(fmask(hit), vals[pos], identity((nbuckets - 1,)))
+        vals_pos = scanned[pos]
+        carr = carry_in[pos // blk]
+        vals_pos = jnp.where(fmask(open_[pos]), add(carr, vals_pos), vals_pos)
+        buckets = jnp.where(fmask(hit), vals_pos, identity((nbuckets - 1,)))
         # sum_j j*B_j = sum_k S_k with S_k = sum_{j>=k} B_j: one suffix
-        # scan for the S_k, a second to total them into position 0
-        ident_row = identity((nbuckets - 1,))
-        suffix = _hs_suffix_scan(buckets, add, ident_row, fmask)
-        return _hs_suffix_scan(suffix, add, ident_row, fmask)[0]
+        # scan for the S_k, then one total
+        suffix = _blocked_suffix_scan(buckets, add, identity, fmask)
+        return _blocked_total(suffix, add, identity, fmask)
 
-    window_sums = jax.lax.map(one_window, digits)  # (nwin, ...feature)
+    return jax.lax.map(one_window, digits)  # (nwin, ...feature)
+
+
+def _msm_combine_windows(window_sums, c, add, identity):
+    """result = sum_w 2^{wc} * window_sum_w (c doublings per window)."""
 
     def step(acc, wsum):
         acc = jax.lax.fori_loop(0, c, lambda j, a: add(a, a), acc)
@@ -277,6 +389,54 @@ def _msm_pippenger_core(points, digits, c, add, identity):
 
     acc, _ = jax.lax.scan(step, identity(()), window_sums[::-1])
     return acc
+
+
+def _msm_pippenger_core(points, digits, c, add, identity):
+    """Full group-generic Pippenger: window sums + doubling combine."""
+    return _msm_combine_windows(
+        _msm_window_sums(points, digits, c, add, identity), c, add, identity
+    )
+
+
+def msm_pippenger_sharded(points, digits, c, mesh, axis_name="chip",
+                          add=None, identity=None):
+    """Mesh-sharded Pippenger MSM: windows are embarrassingly parallel, so
+    the window axis is sharded over `axis_name` — each chip sorts/scans its
+    own windows against replicated points, and only the (nwin, point-sized)
+    window sums are gathered for the doubling combine (north-star axis /
+    VERDICT r4 item 1c: "points/buckets partitioned across chips").
+
+    Group-generic like `_msm_pippenger_core` so correctness is testable on
+    a CPU mesh under a mock group (BN254 compiles impractically slowly off
+    TPU). digits: (nwin, N) uint32, window 0 least significant."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    add = add or g1_add
+    identity = identity or g1_identity
+    ndev = mesh.shape[axis_name]
+    nwin = digits.shape[0]
+    pad = (-nwin) % ndev
+    if pad:
+        # zero digits -> every bucket empty -> identity window sums
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((pad,) + digits.shape[1:], digits.dtype)]
+        )
+
+    # check_vma=False: the group-generic scan bodies mix replicated
+    # identity constants into device-varying carries, which the varying-
+    # manual-axis checker rejects; the computation is per-window pure.
+    @_ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def shard_fn(pts, dg):
+        return _msm_window_sums(pts, dg, c, add, identity)
+
+    ws = shard_fn(points, digits)
+    return _msm_combine_windows(ws[:nwin], c, add, identity)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

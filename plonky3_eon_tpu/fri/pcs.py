@@ -119,29 +119,60 @@ class TwoAdicFriPcs(Pcs):
 
     # ---- commit -------------------------------------------------------
 
-    def _lde_brev(self, domain, evals):
-        """evals over `domain` -> LDE over g*H (size << log_blowup),
-        bit-reversed row order."""
+    #: column-chunk threshold for the LDE pipeline: when big_n * width
+    #: exceeds this many base elements, columns are processed in blocks so
+    #: the ~5 live full-size buffers (coeffs/padded/lde/brev + input)
+    #: never materialize together — the fix that lets keccak-air (2633
+    #: cols) and blake3-air (9168 cols) commit at 2^17+ in 16 GB of HBM
+    #: (VERDICT r4 item 3)
+    LDE_CHUNK_ELEMS = 1 << 27
+
+    def _lde_brev_block(self, evals, n, big_n, shift_int):
+        """One column block: iDFT -> zero-pad -> coset DFT -> bit-reverse."""
         F = self.F
         p = F.order
-        n = domain.size
-        big_n = n << self.fri.log_blowup
-        if self.mesh is not None and int(evals.shape[1]) >= len(self.mesh.devices):
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            evals = jax.device_put(
-                evals, NamedSharding(self.mesh, P(None, "chip"))
-            )
-        if domain.shift_int == 1:
+        if shift_int == 1:
             coeffs = self.dft.idft_batch(evals)
         else:
-            inv_s = pow(domain.shift_int, p - 2, p)
+            inv_s = pow(shift_int, p - 2, p)
             coeffs = self.dft.coset_idft_batch(evals, _pow_dev(F, inv_s, n))
         pad = jnp.zeros((big_n - n,) + evals.shape[1:], evals.dtype)
         padded = jnp.concatenate([coeffs, pad], axis=0)
         lde = self.dft.coset_dft_batch(padded, _pow_dev(F, F.generator_int, big_n))
         brev = jnp.take(lde, _brev_dev(big_n), axis=0)
         return coeffs, brev
+
+    def _lde_brev(self, domain, evals):
+        """evals over `domain` -> LDE over g*H (size << log_blowup),
+        bit-reversed row order. Wide matrices run column-chunked."""
+        F = self.F
+        n = domain.size
+        big_n = n << self.fri.log_blowup
+        w = int(evals.shape[1])
+        if self.mesh is not None and w >= len(self.mesh.devices):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            evals = jax.device_put(
+                evals, NamedSharding(self.mesh, P(None, "chip"))
+            )
+        if big_n * w <= self.LDE_CHUNK_ELEMS or self.mesh is not None:
+            return self._lde_brev_block(evals, n, big_n, domain.shift_int)
+        # column-chunked: same shapes per block -> ONE compile; the last
+        # partial block is zero-padded to the block width
+        blk_w = max(1, self.LDE_CHUNK_ELEMS // big_n)
+        cfs, brevs = [], []
+        for off in range(0, w, blk_w):
+            block = evals[:, off : off + blk_w]
+            bw = int(block.shape[1])
+            if bw < blk_w:
+                block = jnp.concatenate(
+                    [block, jnp.zeros((n, blk_w - bw) + block.shape[2:],
+                                      block.dtype)], axis=1
+                )
+            cf, brev = self._lde_brev_block(block, n, big_n, domain.shift_int)
+            cfs.append(cf[:, :bw])
+            brevs.append(brev[:, :bw])
+        return jnp.concatenate(cfs, axis=1), jnp.concatenate(brevs, axis=1)
 
     def _randomize_item(self, domain, evals):
         """ZK trace randomization: evals (n rows, natural subdomain of the
@@ -219,10 +250,30 @@ class TwoAdicFriPcs(Pcs):
         pad_n = big_n - cf.shape[0]
         if pad_n < 0:
             raise ValueError("domain smaller than polynomial degree")
-        padded = jnp.concatenate(
-            [cf, jnp.zeros((pad_n,) + cf.shape[1:], cf.dtype)], axis=0
-        )
-        return self.dft.coset_dft_batch(padded, _pow_dev(F, F.generator_int, big_n))
+        w = int(cf.shape[1])
+        spows = _pow_dev(F, F.generator_int, big_n)
+
+        def block(cfb):
+            padded = jnp.concatenate(
+                [cfb, jnp.zeros((pad_n,) + cfb.shape[1:], cfb.dtype)], axis=0
+            )
+            return self.dft.coset_dft_batch(padded, spows)
+
+        if big_n * w <= self.LDE_CHUNK_ELEMS:
+            return block(cf)
+        # column-chunked for wide AIRs (keccak/blake3) — see LDE_CHUNK_ELEMS
+        blk_w = max(1, self.LDE_CHUNK_ELEMS // big_n)
+        outs = []
+        for off in range(0, w, blk_w):
+            cfb = cf[:, off : off + blk_w]
+            bw = int(cfb.shape[1])
+            if bw < blk_w:
+                cfb = jnp.concatenate(
+                    [cfb, jnp.zeros((cf.shape[0], blk_w - bw) + cf.shape[2:],
+                                    cf.dtype)], axis=1
+                )
+            outs.append(block(cfb)[:, :bw])
+        return jnp.concatenate(outs, axis=1)
 
     # ---- open ---------------------------------------------------------
 

@@ -1,24 +1,23 @@
 """Hash kernel tests: known-answer vectors + batching consistency
 (reference parity: `keccak/src` KAT tests, `bn254` zkhash differential
-tests — SURVEY.md §4)."""
+tests — SURVEY.md §4).
+
+FAST tier (VERDICT r4 weak-2): the KATs here are sub-second, so a
+keccak/sha/blake3 regression is caught by default CI. The compile-heavy
+sponge + BN254-challenger cases live in `test_hashes_slow.py`."""
 
 import hashlib
 
 import numpy as np
-import pytest
 
 from plonky3_eon_tpu.fields import BabyBear
-pytestmark = pytest.mark.slow  # compile-heavy: fast tier skips (conftest)
-
 from plonky3_eon_tpu.hashes import (
     Blake3Hasher,
     KeccakF,
     KeccakU64Sponge,
-    PaddingFreeSponge,
     Poseidon2,
     Sha256,
     Sha256Compress,
-    TruncatedPermutation,
     blake3_bytes,
     keccak256_bytes,
     keccak_f,
@@ -109,25 +108,6 @@ def test_poseidon2_permutation_properties():
     np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(y[2]))
 
 
-def test_poseidon2_sponge_and_compression():
-    F = BabyBear
-    p2 = Poseidon2(F, 16)
-    sponge = PaddingFreeSponge(p2, 16, 8, 8)
-    rng = np.random.default_rng(5)
-    inp = F.from_int(rng.integers(0, F.order, size=(4, 20), dtype=np.uint64))
-    dig = sponge.hash(inp)
-    assert dig.shape == (4, 8)
-    comp = TruncatedPermutation(p2, 2, 8, 16)
-    out = comp.compress(jnp_stack_pair(dig))
-    assert out.shape == (4 // 2, 8) or out.shape == (2, 8)
-
-
-def jnp_stack_pair(dig):
-    import jax.numpy as jnp
-
-    return jnp.stack([dig[0::2], dig[1::2]], axis=1)
-
-
 def test_keccak_u64_sponge_shapes():
     sponge = KeccakU64Sponge(keccak_f)
     rng = np.random.default_rng(6)
@@ -140,33 +120,6 @@ def test_keccak_u64_sponge_shapes():
     dig2 = np.asarray(sponge.hash(words2))
     assert not np.array_equal(dig[0], dig2[0])
     np.testing.assert_array_equal(dig[1], dig2[1])
-
-
-def test_multi_field_challenger():
-    """MultiField32Challenger over the BN254 sponge: deterministic,
-    consistent, distinct transcripts (ref: multi_field_challenger.rs:15)."""
-    from plonky3_eon_tpu.challenger import MultiField32Challenger, reduce_32, split_32
-    from plonky3_eon_tpu.fields import BabyBear, Bn254Fr
-    from plonky3_eon_tpu.kzg import poseidon2_bn254
-
-    p2 = poseidon2_bn254(3)
-    mk = lambda: MultiField32Challenger(BabyBear, Bn254Fr, p2, 3, 2)
-    a, b = mk(), mk()
-    a.observe_ints([1, 2, 3])
-    b.observe_ints([1, 2, 3])
-    assert a.sample_int() == b.sample_int()
-    c = mk()
-    c.observe_ints([1, 2, 4])
-    assert c.sample_int() != a.sample_int() or True  # distinct transcript path
-    # reduce/split roundtrip on the packing boundary
-    vals = [123, 456, 789]
-    packed = reduce_32(BabyBear, Bn254Fr, vals)
-    unpacked = split_32(Bn254Fr, BabyBear, packed, 3)
-    # split uses 64-bit chunks: first chunk holds vals[0] + vals[1]<<32 mod p
-    assert unpacked[0] == (123 + (456 << 32)) % BabyBear.order
-    w = a.grind(4)
-    d = mk(); d.observe_ints([1, 2, 3]); _ = d.sample_int()
-    assert d.check_witness(4, w)
 
 
 def test_poseidon2_unknown_instance_requires_optin():
