@@ -37,12 +37,13 @@ class Pcs:
     def commit(self, domains_and_evals: list):
         raise NotImplementedError
 
-    def commit_quotient(self, quotient_domain, quotient_flat, num_chunks: int):
+    def commit_quotient(self, quotient_domain, quotient_flat, num_chunks: int,
+                        **commit_kwargs):
         """Default: split the quotient evals into chunks on split domains and
         commit (ref: `pcs.rs:82-107`)."""
         chunks = quotient_domain.split_evals(num_chunks, quotient_flat)
         domains = quotient_domain.split_domains(num_chunks)
-        return self.commit(list(zip(domains, chunks)))
+        return self.commit(list(zip(domains, chunks)), **commit_kwargs)
 
     def get_evaluations_on_domain(self, prover_data, idx: int, domain):
         raise NotImplementedError

@@ -191,7 +191,31 @@ class TwoAdicFriPcs(Pcs):
         hat_c = jnp.concatenate([F.sub(t_c, r_c), r_c], axis=0)
         return self.dft.dft_batch(hat_c)
 
-    def commit(self, domains_and_evals):
+    def transcript_on_device(self, challenger, log_max_lde: int) -> bool:
+        """True when the WHOLE prover transcript can stay device-resident
+        (VERDICT r4 item 9): duplex/Poseidon2/31-bit challenger, a Merkle
+        challenge MMCS the fold phase can trace, and enough fold rounds
+        that `_device_fold_phase` engages (its download is the single
+        point where the host state reseeds)."""
+        from ..commit.merkle import ExtensionMmcs, MerkleTreeMmcs
+        from ..hashes.poseidon2 import Poseidon2
+
+        if not (hasattr(challenger, "device_capable")
+                and challenger.device_capable()):
+            return False
+        if self.EF.D > challenger.rate:
+            return False
+        mmcs = self.challenge_mmcs
+        if isinstance(mmcs, ExtensionMmcs):
+            mmcs = mmcs.inner
+        if not isinstance(mmcs, MerkleTreeMmcs):
+            return False
+        if not isinstance(challenger.perm, Poseidon2):
+            return False
+        log_final = self.fri.log_blowup + self.fri.log_final_poly_len
+        return log_max_lde > log_final
+
+    def commit(self, domains_and_evals, device_root: bool = False):
         items = list(domains_and_evals)
         if self.ZK:
             items = [
@@ -226,7 +250,10 @@ class TwoAdicFriPcs(Pcs):
         log_hs = [d.log_n + self.fri.log_blowup for d, _ in items]
         root, mdata = self.mmcs.commit(ldes)
         pd = FriProverData(domains, coeffs, ldes, mdata, log_hs)
-        return np.asarray(root), pd
+        # device_root: leave the root ON DEVICE (the device-resident
+        # transcript absorbs it there; the host copy rides the fold
+        # phase's bundled download instead of costing its own round trip)
+        return (root if device_root else np.asarray(root)), pd
 
     def get_opt_randomization_poly_commitment(self, domain):
         """Commit to EF.D uniformly random base columns over `domain` — the
@@ -305,34 +332,53 @@ class TwoAdicFriPcs(Pcs):
         all_vals, packed_vals = _claimed_evals_batch(
             F, EF, tuple(flat_sig), tuple(flat_coeffs), jnp.stack(zs)
         )
-        # ONE download of every claimed value (per-array downloads cost a
-        # tunnel round trip each); device copies stay alive for step 3
-        packed_np = np.asarray(packed_vals)
-        host_vals, off = [], 0
-        for v in all_vals:
-            w = int(np.prod(v.shape, dtype=np.int64))
-            host_vals.append(packed_np[off : off + w].reshape(v.shape))
-            off += w
         vi = 0
         m_flat = 0
         opened_dev = []
+        mat_npts = []
         for pd, points_per_matrix in rounds:
-            round_vals, round_vals_dev = [], []
+            round_vals_dev = []
+            rn = []
             for cf, points in zip(pd.coeffs, points_per_matrix):
                 npts = len(flat_sig[m_flat][2])
-                round_vals.append([host_vals[vi + k] for k in range(npts)])
                 round_vals_dev.append([all_vals[vi + k] for k in range(npts)])
+                rn.append(npts)
                 vi += npts
                 m_flat += 1
-            opened.append(round_vals)
             opened_dev.append(round_vals_dev)
+            mat_npts.append(rn)
 
-        # 2. bind claimed evals, sample the batch-RLC alpha
-        for rv in opened:
-            for mats in rv:
-                for v in mats:
-                    challenger.observe(v.reshape(-1))
-        alpha = challenger.sample_ext(EF)
+        # 2. bind claimed evals, sample the batch-RLC alpha. Device
+        # transcript mode: the absorb + sample run on device (the packed
+        # order matches the host observe order exactly: rounds -> matrices
+        # -> points), alpha never touches the host, and the packed
+        # download is deferred until after the fold phase dispatches.
+        dev_mode = getattr(challenger, "_dev_state", None) is not None
+        if dev_mode:
+            challenger.observe_device(packed_vals)
+            alpha = challenger.sample_ext_device(EF)
+            packed_np = None
+        else:
+            # ONE download of every claimed value (per-array downloads
+            # cost a tunnel round trip each)
+            packed_np = np.asarray(packed_vals)
+            host_vals, off = [], 0
+            for v in all_vals:
+                w = int(np.prod(v.shape, dtype=np.int64))
+                host_vals.append(packed_np[off : off + w].reshape(v.shape))
+                off += w
+            vi = 0
+            for rdev, rn in zip(opened_dev, mat_npts):
+                round_vals = []
+                for npts in rn:
+                    round_vals.append([host_vals[vi + k] for k in range(npts)])
+                    vi += npts
+                opened.append(round_vals)
+            for rv in opened:
+                for mats in rv:
+                    for v in mats:
+                        challenger.observe(v.reshape(-1))
+            alpha = challenger.sample_ext(EF)
         sp.__exit__(None, None, None)
 
         # 3. reduced openings per LDE height, computed DIRECTLY in
@@ -387,8 +433,9 @@ class TwoAdicFriPcs(Pcs):
             ro_by_height = {h: row_shard(v) for h, v in ro_by_height.items()}
 
         # 4. FRI fold phase
-        for v in ro_by_height.values():
-            v.block_until_ready()
+        if not dev_mode:  # sync only for span timing — it costs a tunnel RTT
+            for v in ro_by_height.values():
+                v.block_until_ready()
         sp.__exit__(None, None, None)
         sp = span("fri: fold phase"); sp.__enter__()
         heights = sorted(ro_by_height, reverse=True)
@@ -406,6 +453,11 @@ class TwoAdicFriPcs(Pcs):
             commits, fold_data, cur, final_poly, pow_witness, query_indices = dev
             sp.__exit__(None, None, None)
         else:
+            if dev_mode:
+                # device transcript engaged but the fold fast path refused
+                # — reseed the host challenger and continue host-sequenced
+                challenger.end_device_transcript()
+                dev_mode = False
             while log_h > log_final:
                 half = 1 << (log_h - 1)
                 pairs = cur.reshape(half, 2, EF.D)
@@ -437,6 +489,24 @@ class TwoAdicFriPcs(Pcs):
                 challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)
             ]
             sp.__exit__(None, None, None)
+
+        if dev_mode:
+            # deferred claimed-values download — the fold phase (and its
+            # packed download) already ran, so this transfer overlapped
+            # all of the fold's device work instead of blocking before it
+            packed_np = np.asarray(packed_vals)
+            host_vals, off = [], 0
+            for v in all_vals:
+                w = int(np.prod(v.shape, dtype=np.int64))
+                host_vals.append(packed_np[off : off + w].reshape(v.shape))
+                off += w
+            vi = 0
+            for rdev, rn in zip(opened_dev, mat_npts):
+                round_vals = []
+                for npts in rn:
+                    round_vals.append([host_vals[vi + k] for k in range(npts)])
+                    vi += npts
+                opened.append(round_vals)
 
         sp = span("fri: query openings"); sp.__enter__()
         # 6. query openings (vectorized across queries). All gathers are
@@ -780,6 +850,35 @@ class _DevDuplex:
         return outs
 
 
+#: compiled absorb+sample transcript programs (device-mode challenger)
+_ABSORB_SAMPLE_CACHE: dict = {}
+
+
+def _absorb_sample_dev(F, perm, rate, state, vecs, n_samples: int):
+    """Absorb 1-D Montgomery vectors into a device duplex state and sample
+    n_samples elements, in ONE jitted program (byte-identical to the host
+    observe/sample sequence — see _DevDuplex). Returns (new_state,
+    (n_samples,) Montgomery samples). Cached per (field, perm, lengths)."""
+    key = (F.name, id(perm), rate,
+           tuple(int(v.shape[0]) for v in vecs), n_samples)
+    fn = _ABSORB_SAMPLE_CACHE.get(key)
+    if fn is None:
+
+        def body(state, *vs):
+            dx = _DevDuplex(perm, state, rate)
+            for v in vs:
+                dx.observe_vec(v, int(v.shape[0]))
+            out = jnp.stack(dx.sample_many(n_samples))
+            return dx.st, out
+
+        fn = jax.jit(body)
+        _ABSORB_SAMPLE_CACHE[key] = fn
+    # a sample always flushes pending inputs, so the next program may start
+    # from (state, no-pending) — callers must sample at least one element
+    assert n_samples > 0
+    return fn(state, *vecs)
+
+
 def _device_grind(F, duplex: _DevDuplex, bits: int, batch: int | None = None):
     """PoW witness search inside a traced program (ref:
     `grinding_challenger.rs`; host fallback: DuplexChallenger.grind).
@@ -872,8 +971,12 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
     pow_bits = fri.proof_of_work_bits
     nq = fri.num_queries
     heights = tuple(sorted(ro_by_height, reverse=True))
+    # device-mode bundling: extra vectors (commit roots etc.) queued on the
+    # challenger ride the fold phase's single packed download
+    extras = tuple(getattr(challenger, "_dev_extra", ()) or ())
+    extra_lens = tuple(int(v.shape[0]) for v in extras)
     key = (F.name, EF.name, id(perm), id(mmcs), heights, log_max, log_final,
-           log_len, pow_bits, nq)
+           log_len, pow_bits, nq, extra_lens)
     fn = _FOLD_PHASE_CACHE.get(key)
     rate, D = challenger.rate, EF.D
     num_rounds = log_max - log_final
@@ -928,7 +1031,7 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
             coeffs = _ef_dft(EF).coset_idft_batch(nat[:, None], ipows)[:, 0]
             return coeffs[: 1 << log_len]
 
-        def body(state, ros, inv2x_tables):
+        def body(state, ros, inv2x_tables, extras):
             ro = dict(zip(heights, ros))
             cur = ro[log_max]
             roots, all_levels, all_pairs = [], [], []
@@ -964,19 +1067,27 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
                     F.to_canonical(check)[None],
                     q_idx,
                 ]
+                + [e for e in extras]
             )
             return packed_small, tuple(all_levels), tuple(all_pairs), cur
 
         fn = jax.jit(body)
         _FOLD_PHASE_CACHE[key] = fn
 
-    state_mont = F.from_int(np.asarray(challenger._state, dtype=np.uint64))
+    dev_state = getattr(challenger, "_dev_state", None)
+    state_mont = (
+        dev_state
+        if dev_state is not None
+        else F.from_int(np.asarray(challenger._state, dtype=np.uint64))
+    )
     ros = tuple(ro_by_height[h] for h in heights)
     inv2x_tables = {
         log_h: _inv2x_brev_dev(F, log_h)
         for log_h in range(log_max, log_final, -1)
     }
-    packed_small, all_levels, all_pairs, cur = fn(state_mont, ros, inv2x_tables)
+    packed_small, all_levels, all_pairs, cur = fn(
+        state_mont, ros, inv2x_tables, extras
+    )
     small = np.asarray(packed_small)  # ONE download: whole transcript tail
     off = num_rounds * DIGEST_WIDTH
     roots_np = small[:off].reshape(num_rounds, DIGEST_WIDTH)
@@ -988,6 +1099,18 @@ def _device_fold_phase(pcs, F, EF, challenger, ro_by_height, log_max, log_final)
     if pow_bits > 0 and (check & ((1 << pow_bits) - 1)) != 0:
         raise AssertionError("device grind produced an invalid PoW witness")
     query_indices = [int(x) for x in small[off : off + nq]]
+    off += nq
+    # deliver bundled extras (e.g. commit roots) to the challenger's host
+    # side and exit device-transcript mode
+    extras_np = []
+    for ln in extra_lens:
+        extras_np.append(small[off : off + ln])
+        off += ln
+    if getattr(challenger, "_dev_state", None) is not None:
+        challenger._dev_extra_np = extras_np
+        challenger._dev_extra = []
+        challenger._dev_state = None
+        challenger._dev_pending = []
     # reseed the host transcript: state, empty input, leftover outputs
     state_canon = np.asarray(
         F.to_ints(state_mont_np), dtype=challenger._dtype

@@ -61,13 +61,24 @@ def _rotl64(lo, hi, r: int):
 
 @jax.jit
 def keccak_f(state):
-    """Keccak-f[1600] on a batched state (..., 25, 2) uint32 (lo, hi)."""
-    lo = [state[..., i, 0] for i in range(25)]
-    hi = [state[..., i, 1] for i in range(25)]
-    for rnd in range(24):
+    """Keccak-f[1600] on a batched state (..., 25, 2) uint32 (lo, hi).
+
+    The 24 rounds run under lax.scan (round constants as the scanned xs):
+    the fully-unrolled version was ~10k HLO ops per call, and programs
+    that inline keccak_f tens of times (the 2^21-leaf serializing merkle
+    tree of the reference headline recipe) overwhelmed the XLA compiler —
+    a 2^20 keccak-merkle prove never finished compiling. One traced round
+    body keeps those programs ~24x smaller; rotations are static so the
+    body is identical every round."""
+
+    def round_body(st, rc):
+        lo = [st[..., i, 0] for i in range(25)]
+        hi = [st[..., i, 1] for i in range(25)]
         # theta
-        clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
-        chi_ = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
+        clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
+               for x in range(5)]
+        chi_ = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
+                for x in range(5)]
         for x in range(5):
             rl, rh = _rotl64(clo[(x + 1) % 5], chi_[(x + 1) % 5], 1)
             dlo = clo[(x + 4) % 5] ^ rl
@@ -92,9 +103,18 @@ def keccak_f(state):
                 lo[i] = blo[i] ^ (~blo[i1] & blo[i2])
                 hi[i] = bhi[i] ^ (~bhi[i1] & bhi[i2])
         # iota
-        lo[0] = lo[0] ^ jnp.uint32(_RC_LO[rnd])
-        hi[0] = hi[0] ^ jnp.uint32(_RC_HI[rnd])
-    return jnp.stack([jnp.stack([lo[i], hi[i]], axis=-1) for i in range(25)], axis=-2)
+        lo[0] = lo[0] ^ rc[0]
+        hi[0] = hi[0] ^ rc[1]
+        out = jnp.stack(
+            [jnp.stack([lo[i], hi[i]], axis=-1) for i in range(25)], axis=-2
+        )
+        return out, None
+
+    rcs = jnp.stack(
+        [jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)], axis=-1
+    )  # (24, 2)
+    out, _ = jax.lax.scan(round_body, state, rcs)
+    return out
 
 
 class KeccakF:

@@ -169,16 +169,41 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     trace_domain = pcs.natural_domain_for_degree(n)
     ext_domain = pcs.natural_domain_for_degree(n << zk) if zk else trace_domain
 
+    # Device-resident transcript (VERDICT r4 item 9): when the challenger
+    # and FRI config allow it, every commit->observe->sample interaction
+    # from here to the FRI tail runs inside jitted programs; commit roots
+    # ride the fold phase's single bundled download instead of costing a
+    # ~30ms tunnel round trip each. Transcript bytes are identical (the
+    # _DevDuplex emulation; asserted by tests/test_device_transcript.py).
+    dev_ts = (
+        not zk
+        and hasattr(pcs, "transcript_on_device")
+        and pcs.transcript_on_device(
+            challenger, log_n + getattr(pcs.fri, "log_blowup", 1)
+        )
+    )
+
     with span("commit to trace data"):
-        trace_com, trace_data = pcs.commit([(ext_domain, trace)])
+        trace_com, trace_data = pcs.commit(
+            [(ext_domain, trace)], **({"device_root": True} if dev_ts else {})
+        )
 
     if zk:
         challenger.observe_ints([log_ext_degree])
     challenger.observe_ints([log_n])
-    pcs.observe_commitment(challenger, trace_com)
-    if len(public_values):
-        challenger.observe(F.from_int(public_values))
-    alpha = challenger.sample_ext(EF)
+    if dev_ts:
+        trace_root_dev = jnp.asarray(trace_com).reshape(-1)
+        challenger.begin_device_transcript()
+        challenger.observe_device(trace_root_dev)
+        challenger.queue_download(trace_root_dev)
+        if len(public_values):
+            challenger.observe_device(F.from_int(public_values))
+        alpha = challenger.sample_ext_device(EF)
+    else:
+        pcs.observe_commitment(challenger, trace_com)
+        if len(public_values):
+            challenger.observe(F.from_int(public_values))
+        alpha = challenger.sample_ext(EF)
 
     quotient_domain = ext_domain.create_disjoint_domain((n << zk) * quotient_degree)
     # chunk count = size ratio (== quotient_degree for multiplicative
@@ -196,15 +221,23 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     q_flat = q_vals.reshape((quotient_domain.size, EF.D) + F.shape_suffix)
 
     with span("commit to quotient poly chunks"):
-        q_com, q_data = pcs.commit_quotient(quotient_domain, q_flat, num_chunks)
-    pcs.observe_commitment(challenger, q_com)
+        q_com, q_data = pcs.commit_quotient(
+            quotient_domain, q_flat, num_chunks,
+            **({"device_root": True} if dev_ts else {}),
+        )
 
     r_com = r_data = None
-    if zk:
-        r_com, r_data = pcs.get_opt_randomization_poly_commitment(ext_domain)
-        pcs.observe_commitment(challenger, r_com)
-
-    zeta = challenger.sample_ext(EF)
+    if dev_ts:
+        q_root_dev = jnp.asarray(q_com).reshape(-1)
+        challenger.observe_device(q_root_dev)
+        challenger.queue_download(q_root_dev)
+        zeta = challenger.sample_ext_device(EF)
+    else:
+        pcs.observe_commitment(challenger, q_com)
+        if zk:
+            r_com, r_data = pcs.get_opt_randomization_poly_commitment(ext_domain)
+            pcs.observe_commitment(challenger, r_com)
+        zeta = challenger.sample_ext(EF)
     zeta_next = trace_domain.next_point_ext(EF, zeta)
 
     with span("open"):
@@ -215,6 +248,10 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
         if zk:
             rounds.insert(0, (r_data, [[zeta]]))
         opened, opening_proof = pcs.open(rounds, challenger)
+    if dev_ts:
+        # commit roots arrived bundled in the fold phase's single download
+        trace_com, q_com = (np.asarray(x) for x in challenger._dev_extra_np)
+        challenger._dev_extra_np = []
     t_idx, q_idx = getattr(pcs, "TRACE_IDX", 0), getattr(pcs, "QUOTIENT_IDX", 1)
     trace_local, trace_next = opened[t_idx][0][0], opened[t_idx][0][1]
     quotient_chunks = [opened[q_idx][i][0] for i in range(num_chunks)]
