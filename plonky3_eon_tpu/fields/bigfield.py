@@ -207,11 +207,14 @@ class BigPrimeField(Field):
             zero = jnp.zeros_like(new_ts)
             return jnp.stack(out + [new_ts, zero]), None
 
-        # unroll=4: the 16 digit steps are tiny vector ops — per-iteration
-        # loop latency dominates at the ~4-16k lane widths the blocked-scan
-        # MSM runs at; 4 steps per trip cuts that 4x for a ~4x larger scan
-        # body (still one body instance in the program)
-        t, _ = jax.lax.scan(step, t0, av, unroll=4)
+        # unroll=4 on TPU: the 16 digit steps are tiny vector ops —
+        # per-iteration loop latency dominates at the ~4-16k lane widths
+        # the blocked-scan MSM runs at; 4 steps per trip cuts that 4x for
+        # a ~4x larger scan body (still one body instance). On the CPU
+        # backend (tests) the larger body only slows the already-minutes
+        # compiles, so the loop stays rolled there.
+        unroll = 4 if jax.default_backend() in ("tpu", "axon") else 1
+        t, _ = jax.lax.scan(step, t0, av, unroll=unroll)
         digs = [t[j] for j in range(s)]
         # result < 2p: one conditional subtract (t[s] holds a possible top bit)
         ge = self._ge_p(digs) | (t[s] > 0).astype(U32)

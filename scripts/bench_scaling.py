@@ -47,34 +47,40 @@ def _collective_inventory(compiled) -> dict:
 
 
 def main():
+    # The Fibonacci AIR keeps the GSPMD compile tractable on a 1-core CPU
+    # host while exercising the IDENTICAL sharding structure (row-sharded
+    # witness, column-sharded LDE, row-sharded fold) — the collective
+    # inventory is the measurement, and it does not depend on the AIR's
+    # constraint count.
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     from plonky3_eon_tpu.fields import BabyBear as F, BabyBear4 as EF
-    from plonky3_eon_tpu.hashes import Poseidon2
-    from plonky3_eon_tpu.models.poseidon2_air import Poseidon2Air
+    from plonky3_eon_tpu.models.fibonacci import (
+        FibonacciAir,
+        generate_fibonacci_trace,
+    )
     from plonky3_eon_tpu.parallel import make_mesh, sharded_prove_core
 
-    p2 = Poseidon2(F, 16)
-    air = Poseidon2Air(p2)
-    rng = np.random.default_rng(0)
-    inputs = F.from_int(
-        rng.integers(0, F.order, size=(1 << log_n, 16), dtype=np.uint64)
-    )
+    air = FibonacciAir()
+    trace, x = generate_fibonacci_trace(F, 1 << log_n)
     alpha = EF.from_int(np.arange(1, EF.D + 1, dtype=np.uint64))
 
     for ndev in (1, 8):
         mesh = make_mesh(ndev)
-        step = sharded_prove_core(mesh, air, F, EF, log_n, log_blowup=1)
+        step = sharded_prove_core(
+            mesh, air, F, EF, log_n, log_blowup=1,
+            public_values=(0, 1, x), trace_arg=True,
+        )
         with mesh:
             t0 = time.perf_counter()
-            lowered = step.lower(inputs, alpha)
+            lowered = step.lower(trace, alpha)
             compiled = lowered.compile()
             t_compile = time.perf_counter() - t0
-            out = compiled(inputs, alpha)
+            out = compiled(trace, alpha)
             out.block_until_ready()
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                compiled(inputs, alpha).block_until_ready()
+                compiled(trace, alpha).block_until_ready()
                 times.append(time.perf_counter() - t0)
         inv = _collective_inventory(compiled)
         inv_s = ", ".join(f"{k}={v}" for k, v in inv.items() if v)
