@@ -354,6 +354,7 @@ class TwoAdicFriPcs(Pcs):
         # -> points), alpha never touches the host, and the packed
         # download is deferred until after the fold phase dispatches.
         dev_mode = getattr(challenger, "_dev_state", None) is not None
+        vals_deferred = dev_mode  # survives a fold-phase fallback
         if dev_mode:
             challenger.observe_device(packed_vals)
             alpha = challenger.sample_ext_device(EF)
@@ -490,7 +491,7 @@ class TwoAdicFriPcs(Pcs):
             ]
             sp.__exit__(None, None, None)
 
-        if dev_mode:
+        if vals_deferred:
             # deferred claimed-values download — the fold phase (and its
             # packed download) already ran, so this transfer overlapped
             # all of the fold's device work instead of blocking before it

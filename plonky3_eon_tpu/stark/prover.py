@@ -175,8 +175,17 @@ def prove(config, air, trace, public_values=(), check_witness: bool = False):
     # ride the fold phase's single bundled download instead of costing a
     # ~30ms tunnel round trip each. Transcript bytes are identical (the
     # _DevDuplex emulation; asserted by tests/test_device_transcript.py).
+    # Gated to small/mid traces: the ~6 saved round trips (~200ms) matter
+    # at 2^13 (they were the whole latency floor) but are noise at 2^20,
+    # where switching programs would only invalidate the warm XLA cache of
+    # the headline path's (very large) fold-phase executable.
+    import os as _os
+
+    dev_max_rows = int(_os.environ.get("P3TPU_DEV_TRANSCRIPT_MAX_ROWS",
+                                       1 << 17))
     dev_ts = (
         not zk
+        and n <= dev_max_rows
         and hasattr(pcs, "transcript_on_device")
         and pcs.transcript_on_device(
             challenger, log_n + getattr(pcs.fri, "log_blowup", 1)
