@@ -459,10 +459,18 @@ def main():
             except Exception as e:
                 _log(f"fallback failed: {e!r}")
 
-    # extra stderr-only benches (BASELINE configs 2-exact, 3, 4, 5)
-    extras = os.environ.get("BENCH_EXTRA", "keccakf-headline,circle,kzg")
+    # extra stderr-only benches (BASELINE configs 2-exact, 3, 4, 5).
+    # kzg first: its MSM/fixed-base programs ship warm in .xla_cache, so
+    # it is the cheapest certain number; the keccak-f recipe and circle
+    # engine cold-compile new programs and get what budget remains.
+    extras = os.environ.get("BENCH_EXTRA", "kzg,keccakf-headline,circle")
+    #: rough cold-path wall floors; an extra is skipped, not started, when
+    #: the remaining budget could not fit it (a half-run extra produces no
+    #: number AND starves everything after it)
+    _extra_floor = {"kzg": 240.0, "keccakf-headline": 500.0, "circle": 300.0,
+                    "keccak-air": 300.0, "blake3-air": 300.0}
     for extra in [x for x in extras.split(",") if x]:
-        if _budget_left() < 120.0:
+        if _budget_left() < _extra_floor.get(extra, 120.0):
             _log(f"skipping extra bench {extra}: budget exhausted")
             continue
         try:

@@ -461,9 +461,10 @@ class TwoAdicFriPcs(Pcs):
                 dev_mode = False
             while log_h > log_final:
                 half = 1 << (log_h - 1)
-                pairs = cur.reshape(half, 2, EF.D)
+                # keep any base limb suffix (Goldilocks u32 pairs)
+                pairs = cur.reshape((half, 2) + cur.shape[1:])
                 root, mdata = self.challenge_mmcs.commit(
-                    [pairs.reshape(half, 2 * EF.D)]
+                    [pairs.reshape(half, -1)]
                 )
                 commits.append(np.asarray(root))
                 fold_data.append((mdata, pairs))
@@ -602,7 +603,8 @@ class TwoAdicFriPcs(Pcs):
         log_final = fri.log_blowup + fri.log_final_poly_len
         if len(proof.commit_phase_commits) != log_max - log_final:
             raise ValueError("FRI: wrong number of fold rounds")
-        if np.asarray(proof.final_poly).reshape(-1, EF.D).shape[0] != (
+        fp_row = (EF.D,) + tuple(F.shape_suffix)  # one EF coeff, any limbs
+        if np.asarray(proof.final_poly).reshape((-1,) + fp_row).shape[0] != (
             1 << fri.log_final_poly_len
         ):
             raise ValueError("FRI: wrong final polynomial length")
@@ -633,7 +635,7 @@ class TwoAdicFriPcs(Pcs):
                 raise ValueError("FRI: input Merkle verification failed")
             for (domain, points_and_values), rows in zip(matrices, opened_rows):
                 log_h = domain.log_n + fri.log_blowup
-                w = np.asarray(rows).shape[-1]
+                w = int(np.asarray(rows).shape[1])  # limb suffix may follow
                 midx = q >> (log_max - log_h)  # bit-reversed-space index
                 # x = g * h^rev(midx), vectorized
                 xs = F.from_int(_xs_at_brev_indices(F, log_h, midx))  # (nq,)
@@ -663,19 +665,23 @@ class TwoAdicFriPcs(Pcs):
         ):
             idx = q >> (log_max - log_h)
             pair_idx = idx >> 1
+            suffix = tuple(F.shape_suffix)  # base limb suffix (Goldilocks)
+            n_limb = int(np.prod(suffix, dtype=np.int64)) if suffix else 1
             ok = self.challenge_mmcs.verify_batch(
                 jnp.asarray(proof.commit_phase_commits[r]),
-                [(1 << (log_h - 1), 2 * EF.D)],
+                [(1 << (log_h - 1), 2 * EF.D * n_limb)],
                 pair_idx,
                 [jnp.asarray(pair_rows)],
                 jnp.asarray(mproof),
             )
             if not ok:
                 raise ValueError(f"FRI: fold-round {r} Merkle verification failed")
-            pairs = jnp.asarray(pair_rows).reshape(nq, 2, EF.D)
+            pairs = jnp.asarray(pair_rows).reshape((nq, 2, EF.D) + suffix)
             # consistency: our running value must equal the opened slot
             slot = jnp.asarray((idx & 1).astype(np.int32))
-            mine = jnp.take_along_axis(pairs, slot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            slot_idx = slot.reshape((nq, 1, 1) + (1,) * len(suffix))
+            mine = jnp.take_along_axis(pairs, slot_idx.astype(jnp.int32),
+                                       axis=1)[:, 0]
             if not np.array_equal(np.asarray(mine), np.asarray(cur)):
                 raise ValueError(f"FRI: fold-round {r} consistency check failed")
             # fold: 1/(2x) at the bit-reversed pair indices comes from the
@@ -688,21 +694,23 @@ class TwoAdicFriPcs(Pcs):
                 axis=0,
             )
             half = F.from_int((p + 1) // 2)
-            e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (nq,)))
+            e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]),
+                            jnp.broadcast_to(half, (nq,) + half.shape))
             o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), inv2x)
-            cur = EF.add(e, EF.mul(jnp.broadcast_to(beta, (nq, EF.D)), o))
+            cur = EF.add(e, EF.mul(jnp.broadcast_to(beta, (nq,) + beta.shape), o))
             log_h -= 1
             if log_h in ro_by_height:
                 cur = EF.add(cur, ro_by_height[log_h])
 
         # 3. final polynomial check: evaluate the transported coefficients at
         #    each query's point on the (reinterpreted) coset g*H_final
-        coeffs = jnp.asarray(proof.final_poly).reshape(-1, EF.D)
+        coeffs = jnp.asarray(proof.final_poly).reshape((-1,) + fp_row)
         idx_fin = q >> (log_max - log_final) if log_max > log_final else q
         xs = F.from_int(_xs_at_brev_indices(F, log_final, idx_fin))  # (nq,)
-        val = jnp.zeros((nq, EF.D), coeffs.dtype)
+        val = jnp.zeros((nq,) + fp_row, coeffs.dtype)
         for j in reversed(range(coeffs.shape[0])):  # Horner
-            val = EF.add(EF.mul_base(val, xs), jnp.broadcast_to(coeffs[j], (nq, EF.D)))
+            val = EF.add(EF.mul_base(val, xs),
+                         jnp.broadcast_to(coeffs[j], (nq,) + fp_row))
         if not np.array_equal(np.asarray(cur), np.asarray(val)):
             raise ValueError("FRI: final polynomial mismatch")
 
@@ -1137,9 +1145,11 @@ def _fold_pair(F, EF, pairs, beta, inv2x_brev):
     """e + beta*o on (half, 2, D) bit-reversed pairs (traced inline)."""
     half_n = pairs.shape[0]
     half = F.from_int((F.order + 1) // 2)
-    e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
+    # broadcast shapes keep any base limb suffix (Goldilocks u32 pairs)
+    e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]),
+                    jnp.broadcast_to(half, (half_n,) + half.shape))
     o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), inv2x_brev)
-    return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
+    return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n,) + beta.shape), o))
 
 
 @functools.lru_cache(maxsize=None)
@@ -1272,24 +1282,33 @@ def _pow_dev(F, base: int, n: int):
 
 
 def _chunked_col_contraction(F, EF, mat, col_pows, chunk: int = 16):
-    """sum_c pows_c * mat[:, c] -> (N, D), scanning over column chunks."""
+    """sum_c pows_c * mat[:, c] -> (N, D), scanning over column chunks.
+
+    Suffix-generic: base fields with a limb suffix (Goldilocks u32 pairs)
+    carry it through — the original 2-D-only padding broke the Goldilocks
+    engine's reduced openings (latent since this path landed in round 4;
+    caught by tests/test_goldilocks_stark.py)."""
     n, w = mat.shape[0], mat.shape[1]
+    suffix = tuple(mat.shape[2:])  # () for single-word fields
     pad = (-w) % chunk
     if pad:
-        mat = jnp.concatenate([mat, jnp.zeros((n, pad), mat.dtype)], axis=1)
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((n, pad) + suffix, mat.dtype)], axis=1
+        )
         col_pows = jnp.concatenate(
             [col_pows, jnp.zeros((pad,) + col_pows.shape[1:], col_pows.dtype)], axis=0
         )
     nchunks = (w + pad) // chunk
-    mat_c = jnp.moveaxis(mat.reshape(n, nchunks, chunk), 1, 0)  # (nc, N, chunk)
-    pow_c = col_pows.reshape(nchunks, chunk, EF.D)
+    mat_c = jnp.moveaxis(mat.reshape((n, nchunks, chunk) + suffix), 1, 0)
+    pow_c = col_pows.reshape((nchunks, chunk) + tuple(col_pows.shape[1:]))
 
     def step(acc, xs):
         m, pw = xs
-        term = EF.sum(F.mul(pw[None], m[..., None]), axis=1)  # (N, D)
+        m_exp = m[..., None, :] if suffix else m[..., None]
+        term = EF.sum(F.mul(pw[None], m_exp), axis=1)  # (N, D) + suffix
         return EF.add(acc, term), None
 
-    acc0 = jnp.zeros((n, EF.D), mat.dtype)
+    acc0 = jnp.zeros((n, EF.D) + suffix, mat.dtype)
     acc, _ = jax.lax.scan(step, acc0, (mat_c, pow_c))
     return acc
 
@@ -1312,8 +1331,11 @@ def _final_poly_coeffs(F, EF, cur, log_final: int, log_len: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _reduced_opening_at_queries(F, EF, rows, xs, zeta, col_pows, claimed):
-    """Same contraction at (nq,) query points: rows (nq, w), xs (nq,)."""
-    num = EF.sum(F.mul(col_pows[None], rows[..., None]), axis=1)
+    """Same contraction at (nq,) query points: rows (nq, w) + any base
+    limb suffix, xs (nq,) + suffix."""
+    suffix = tuple(rows.shape[2:])
+    rows_exp = rows[..., None, :] if suffix else rows[..., None]
+    num = EF.sum(F.mul(col_pows[None], rows_exp), axis=1)
     vsum = EF.sum(EF.mul(col_pows, claimed), axis=0)
     diff = EF.sub(num, vsum)
     denom = EF.sub(EF.from_base(xs), zeta)
@@ -1340,9 +1362,10 @@ def _fold_round_fn(F, EF):
 
     def body(pairs, beta, inv2x_brev):
         half_n = pairs.shape[0]
-        e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]), jnp.broadcast_to(half, (half_n,)))
+        e = EF.mul_base(EF.add(pairs[:, 0], pairs[:, 1]),
+                        jnp.broadcast_to(half, (half_n,) + half.shape))
         o = EF.mul_base(EF.sub(pairs[:, 0], pairs[:, 1]), inv2x_brev)
-        return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n, EF.D)), o))
+        return EF.add(e, EF.mul(jnp.broadcast_to(beta, (half_n,) + beta.shape), o))
 
     return jax.jit(body)
 
