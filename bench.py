@@ -460,10 +460,12 @@ def main():
                 _log(f"fallback failed: {e!r}")
 
     # extra stderr-only benches (BASELINE configs 2-exact, 3, 4, 5).
-    # kzg first: its MSM/fixed-base programs ship warm in .xla_cache, so
-    # it is the cheapest certain number; the keccak-f recipe and circle
-    # engine cold-compile new programs and get what budget remains.
-    extras = os.environ.get("BENCH_EXTRA", "kzg,keccakf-headline,circle")
+    # keccakf-headline first: it is the reference recipe EXACTLY (VERDICT
+    # r4 item 2 wants its number in the round artifacts) and its programs
+    # ship warm in .xla_cache; the per-extra wall floors below keep one
+    # slow extra from starving the rest (each is skipped whole, never
+    # half-run, when the remaining budget cannot fit it).
+    extras = os.environ.get("BENCH_EXTRA", "keccakf-headline,kzg,circle")
     #: rough cold-path wall floors; an extra is skipped, not started, when
     #: the remaining budget could not fit it (a half-run extra produces no
     #: number AND starves everything after it)

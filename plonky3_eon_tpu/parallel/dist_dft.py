@@ -41,11 +41,12 @@ def _local_dft_axis0(F, x, root_int: int, log_a: int, inverse: bool):
     full = np_powers(g, max(a // 2, 1), p)
     x = jnp.take(x, jnp.asarray(bit_reverse_indices(a)), axis=0)
     rest = tuple(x.shape[1:])
+    sfx = F.shape_suffix  # e.g. (16,) for the BN254 Fr digit suffix
     for s in range(log_a):
         m = 1 << s
         x = x.reshape((a // (2 * m), 2, m) + rest)
         tw = F.from_int_np(full[:: (a // 2) // m][:m])
-        tshape = (1, m) + (1,) * len(rest)
+        tshape = (1, m) + (1,) * (len(rest) - len(sfx)) + sfx
         t = F.mul(x[:, 1], jnp.asarray(tw).reshape(tshape))
         x = jnp.stack([F.add(x[:, 0], t), F.sub(x[:, 0], t)], axis=1)
         x = x.reshape((a,) + rest)
@@ -70,11 +71,12 @@ def dist_dft_batch(mesh: Mesh, F, mat, inverse: bool = False):
     if inverse:
         omega = pow(omega, p - 2, p)
 
-    # twiddle table w^(j2*k1): (A, B) — host outer-product index into powers
+    # twiddle table w^(j2*k1): (A, B)+suffix — host outer-product index
     pw = np_powers(omega, n, p)
     k1 = np.arange(A, dtype=np.int64)[:, None]
     j2 = np.arange(B, dtype=np.int64)[None, :]
     tw_np = F.from_int_np(pw[(k1 * j2) % n])
+    sfx = F.shape_suffix
 
     shard_j2 = NamedSharding(mesh, P(None, "chip"))  # (A, B, w): j2 on chips
     shard_k1 = NamedSharding(mesh, P("chip", None))  # (A, B, w): k1 on chips
@@ -84,7 +86,12 @@ def dist_dft_batch(mesh: Mesh, F, mat, inverse: bool = False):
         v = x.reshape(A, B, *x.shape[1:])
         v = jax.lax.with_sharding_constraint(v, shard_j2)
         v = _local_dft_axis0(F, v, pow(omega, B, p), log_a, inverse=False)
-        v = F.mul(v, jnp.asarray(tw_np).reshape(A, B, *([1] * (v.ndim - 2))))
+        v = F.mul(
+            v,
+            jnp.asarray(tw_np).reshape(
+                (A, B) + (1,) * (v.ndim - 2 - len(sfx)) + sfx
+            ),
+        )
         # the all_to_all boundary: j2-sharded -> k1-sharded
         v = jax.lax.with_sharding_constraint(v, shard_k1)
         v = jnp.moveaxis(v, 1, 0)  # (B, A, w)

@@ -56,3 +56,43 @@ def test_dist_dft_hlo_has_one_all_to_all():
     got = np.asarray(dist_dft_batch(mesh, F, mat))
     ref = np.asarray(Radix2Dit(F).dft_batch(mat))
     assert np.array_equal(ref, got)
+
+
+def _rand_fr(rng, n, w):
+    from plonky3_eon_tpu.fields.bigfield import Bn254Fr as Fr
+
+    vals = np.empty((n, w), dtype=object)
+    for i in range(n):
+        for j in range(w):
+            vals[i, j] = int.from_bytes(rng.bytes(32), "little") % Fr.order
+    return Fr.from_int(vals)
+
+
+def test_dist_idft_suffix_field_bn254():
+    """Suffix-generic 4-step FFT: BN254 Fr (16-digit CIOS suffix) matches
+    the single-chip Radix2Dit — the KZG commit-path shape where column
+    sharding gives zero parallelism (VERDICT r4 item 10)."""
+    from plonky3_eon_tpu.fields.bigfield import Bn254Fr as Fr
+    from plonky3_eon_tpu.parallel.dist_dft import dist_idft_batch
+
+    mesh = _mesh()
+    rng = np.random.default_rng(4)
+    mat = _rand_fr(rng, 64, 2)
+    ref = np.asarray(Radix2Dit(Fr).idft_batch(mat))
+    got = np.asarray(dist_idft_batch(mesh, Fr, mat))
+    assert np.array_equal(ref, got)
+
+
+def test_kzg_commit_with_mesh_matches_single_device():
+    """KzgPcs(srs, mesh): the commit iDFT rides the distributed FFT and
+    the resulting G1 commitments are identical to the single-device path."""
+    from plonky3_eon_tpu.kzg import KzgPcs, make_test_srs
+
+    mesh = _mesh()
+    rng = np.random.default_rng(5)
+    srs = make_test_srs(32)
+    evals = _rand_fr(rng, 32, 2)
+    dom = KzgPcs(srs).natural_domain_for_degree(32)
+    com_single, _ = KzgPcs(srs).commit([(dom, evals)])
+    com_mesh, _ = KzgPcs(srs, mesh=mesh).commit([(dom, evals)])
+    assert com_single == com_mesh
